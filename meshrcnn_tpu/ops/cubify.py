@@ -1,0 +1,173 @@
+"""Cubify: voxel occupancy grid -> padded triangle mesh batch, all static shapes.
+
+TPU-native redesign of the reference Cubify layer (reference: meshRCNN/layers.py:342-484).
+The reference binarises the grid, runs a 6-tap conv3d to find exposed faces, then builds
+the mesh with data-dependent shapes: ``nonzero()``, a Python loop over directions,
+``unique(dim=0)`` vertex dedup and a *Python dict hash table* to reindex faces
+(layers.py:455-462). None of that can live inside an XLA program.
+
+Here everything is fixed shape:
+
+ 1. ``occ = grid > threshold`` and six zero-padded shifts give the 6 exposure masks
+    (replaces the conv3d at layers.py:411).
+ 2. Vertices live on the (Z+1, Y+1, X+1) corner lattice. A corner is "used" if any
+    exposed face touches it. Vertex ids are assigned by an exclusive cumsum over the
+    flattened corner-used grid — this *is* the dedup: each geometric corner has exactly
+    one lattice slot, so no sort or hash table is needed (replaces unique + dict at
+    layers.py:447-462).
+ 3. Every (direction, voxel) pair owns two statically-addressed candidate triangles
+    whose vertex ids are gathers from the id grid; valid ones are compacted to the
+    front of a [Fmax, 3] buffer with a cumsum scatter.
+ 4. Unique undirected edges come from a lexicographic sort + adjacent-compare compact
+    (see core.mesh.edges_from_faces; replaces unique(dim=1) at layers.py:478).
+
+Geometry conventions copied from the reference so OBJ artifacts are comparable:
+corners at voxel_index +/- 0.5; per-direction corner tables from layers.py:370-400;
+quad triangulated as (c0,c1,c2),(c0,c2,c3) (layers.py:441-443); final coordinate
+transform (z,y,x) -> (z, x, -y), i.e. the 90-degree x-rotation at layers.py:466-467.
+(Note: the reference's corner tables are in raster order, not cyclic order, so its
+(0,1,2),(0,2,3) triangulation leaves sliver gaps in every quad. We reproduce the
+topology exactly for behavioural parity; sampling/losses match as a result.)
+
+Capacity overflow is *detected and reported* per sample instead of the reference's
+silent try/except batch skipping (utils/train_utils.py:134-137): callers receive
+``overflow`` counts alongside the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from meshrcnn_tpu.core.mesh import MeshBatch, edges_from_faces
+
+# Per-direction corner lattice offsets (oz, oy, ox), transcribed from the reference
+# deltas table (meshRCNN/layers.py:370-400) with -0.5 -> 0 and +0.5 -> 1.
+# Directions (exposure test): 0 back(z-1) 1 front(z+1) 2 top(y+1) 3 bottom(y-1)
+# 4 left(x-1) 5 right(x+1)  (layers.py:353-362).
+_CORNERS = (
+    ((0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1)),  # back
+    ((1, 0, 0), (1, 0, 1), (1, 1, 0), (1, 1, 1)),  # front
+    ((1, 0, 0), (1, 0, 1), (0, 0, 0), (0, 0, 1)),  # top
+    ((0, 1, 0), (0, 1, 1), (1, 1, 0), (1, 1, 1)),  # bottom
+    ((1, 0, 0), (0, 0, 0), (1, 1, 0), (0, 1, 0)),  # left
+    ((0, 0, 1), (1, 0, 1), (0, 1, 1), (1, 1, 1)),  # right
+)
+# Neighbour shift for the exposure test per direction: (dz, dy, dx).
+_NEIGHBOR = ((-1, 0, 0), (1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, -1), (0, 0, 1))
+
+
+@struct.dataclass
+class CubifyOverflow:
+    """Per-sample counts of mesh elements that exceeded static capacity."""
+    verts: jax.Array  # [B] int32
+    faces: jax.Array  # [B] int32
+    edges: jax.Array  # [B] int32
+
+    def any(self) -> jax.Array:
+        return (self.verts + self.faces + self.edges) > 0
+
+
+def _neighbor_occ(occ: jnp.ndarray, dz: int, dy: int, dx: int) -> jnp.ndarray:
+    """occ[z+dz, y+dy, x+dx] with zeros outside the grid (static shift)."""
+    Z, Y, X = occ.shape
+    pad = ((1, 1), (1, 1), (1, 1))
+    p = jnp.pad(occ, pad)
+    return p[1 + dz:1 + dz + Z, 1 + dy:1 + dy + Y, 1 + dx:1 + dx + X]
+
+
+def _cubify_single(grid: jnp.ndarray, threshold: float,
+                   vert_capacity: int, face_capacity: int, edge_capacity: int):
+    """Cubify one [Z, Y, X] probability grid. Returns padded mesh + overflow counts."""
+    Z, Y, X = grid.shape
+    occ = grid > threshold
+
+    exposed = [occ & ~_neighbor_occ(occ, *_NEIGHBOR[d]) for d in range(6)]
+
+    # ---- corner-used grid and vertex ids -------------------------------------
+    used = jnp.zeros((Z + 1, Y + 1, X + 1), dtype=bool)
+    for d in range(6):
+        for (oz, oy, ox) in _CORNERS[d]:
+            used = used.at[oz:oz + Z, oy:oy + Y, ox:ox + X].max(exposed[d])
+
+    flat_used = used.reshape(-1)
+    vid_flat = jnp.cumsum(flat_used.astype(jnp.int32)) - 1  # id of each used corner
+    n_verts = jnp.sum(flat_used.astype(jnp.int32))
+    id_grid = vid_flat.reshape(Z + 1, Y + 1, X + 1)
+
+    # Vertex positions: lattice index - 0.5 in (z,y,x), then the reference's
+    # 90-deg x-rotation (z,y,x) -> (z, x, -y)  (layers.py:466-467).
+    lz = jax.lax.broadcasted_iota(jnp.float32, used.shape, 0) - 0.5
+    ly = jax.lax.broadcasted_iota(jnp.float32, used.shape, 1) - 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, used.shape, 2) - 0.5
+    coords = jnp.stack([lz.reshape(-1), lx.reshape(-1), -ly.reshape(-1)], axis=-1)
+
+    slot = jnp.where(flat_used & (vid_flat < vert_capacity), vid_flat, vert_capacity)
+    verts = jnp.zeros((vert_capacity + 1, 3), dtype=jnp.float32)
+    verts = verts.at[slot].set(coords, mode="drop")[:vert_capacity]
+    v_count = jnp.minimum(n_verts, vert_capacity)
+    v_iota = jax.lax.broadcasted_iota(jnp.int32, (vert_capacity, 1), 0)[:, 0]
+    verts_mask = v_iota < v_count
+
+    # ---- candidate faces -------------------------------------------------------
+    # For each direction: gather the 4 corner ids per voxel, emit 2 triangles.
+    tri_list = []
+    tri_mask = []
+    for d in range(6):
+        cids = [id_grid[oz:oz + Z, oy:oy + Y, ox:ox + X].reshape(-1)
+                for (oz, oy, ox) in _CORNERS[d]]
+        c0, c1, c2, c3 = cids
+        e = exposed[d].reshape(-1)
+        tri_list.append(jnp.stack([c0, c1, c2], axis=-1))
+        tri_list.append(jnp.stack([c0, c2, c3], axis=-1))
+        tri_mask.append(e)
+        tri_mask.append(e)
+    cand = jnp.concatenate(tri_list, axis=0)          # [6*2*Z*Y*X, 3]
+    cand_mask = jnp.concatenate(tri_mask, axis=0)
+
+    n_faces = jnp.sum(cand_mask.astype(jnp.int32))
+    fslot = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
+    fslot = jnp.where(cand_mask & (fslot < face_capacity), fslot, face_capacity)
+    faces = jnp.zeros((face_capacity + 1, 3), dtype=jnp.int32)
+    faces = faces.at[fslot].set(cand, mode="drop")[:face_capacity]
+    f_count = jnp.minimum(n_faces, face_capacity)
+    f_iota = jax.lax.broadcasted_iota(jnp.int32, (face_capacity, 1), 0)[:, 0]
+    faces_mask = f_iota < f_count
+    # Clamp ids of faces referencing overflowed vertices; mask those faces out.
+    face_valid = faces_mask & jnp.all(faces < vert_capacity, axis=-1)
+    faces = jnp.where(face_valid[:, None], faces, 0)
+
+    # ---- unique undirected edges -----------------------------------------------
+    edges, edges_mask, e_overflow = edges_from_faces(faces, face_valid, edge_capacity)
+
+    overflow_v = jnp.maximum(n_verts - vert_capacity, 0)
+    overflow_f = jnp.maximum(n_faces - face_capacity, 0)
+    return (verts, verts_mask, faces, face_valid, edges, edges_mask,
+            overflow_v, overflow_f, e_overflow)
+
+
+@partial(jax.jit, static_argnames=("threshold", "vert_capacity", "face_capacity",
+                                   "edge_capacity"))
+def cubify(grid: jnp.ndarray, threshold: float = 0.5, *,
+           vert_capacity: int = 4096, face_capacity: int = 8192,
+           edge_capacity: int = 16384) -> tuple[MeshBatch, CubifyOverflow]:
+    """Cubify a batch of voxel grids.
+
+    Args:
+      grid: [B, Z, Y, X] occupancy probabilities.
+      threshold: binarisation threshold (reference default 0.5; models use 0.2).
+      vert_capacity / face_capacity / edge_capacity: static per-sample capacities.
+
+    Returns:
+      (MeshBatch, CubifyOverflow). An empty grid yields an all-masked sample instead
+      of the reference's ``ValueError("empty grid")`` (layers.py:434-435) so training
+      steps never abort mid-jit; callers can inspect ``mesh.num_verts() == 0``.
+    """
+    fn = partial(_cubify_single, threshold=threshold, vert_capacity=vert_capacity,
+                 face_capacity=face_capacity, edge_capacity=edge_capacity)
+    (verts, vmask, faces, fmask, edges, emask, ov, of, oe) = jax.vmap(fn)(grid)
+    mesh = MeshBatch(verts=verts, verts_mask=vmask, faces=faces, faces_mask=fmask,
+                     edges=edges, edges_mask=emask)
+    return mesh, CubifyOverflow(verts=ov, faces=of, edges=oe)
