@@ -1,0 +1,188 @@
+"""Tiled nearest-neighbour / chamfer / kNN kernels for point clouds.
+
+The reference materialises full 10k x 10k squared-distance matrices in GPU memory
+(reference: loss_functions.py:192-220 ``batched_point2point_distance`` via bmm) and
+even round-trips to the CPU for ``torch.symeig`` when estimating normals
+(loss_functions.py:159-161). On TPU we never materialise the full matrix in HBM:
+the second cloud is scanned in tiles, each tile's distance block is an MXU matmul
+(|p|^2 + |q|^2 - 2 p.q^T), and running min / arg-min / top-k accumulators carry
+across tiles inside a ``lax.scan``. Peak live memory is O(N * tile) instead of O(N^2),
+and everything stays on-device inside one jit program.
+
+PCA normals use a closed-form 3x3 symmetric eigensolver (see ``smallest_eigenvector``)
+instead of LAPACK — no host round-trip (SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _dist_block(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [N, T] between p [N,3] and q [T,3] (MXU matmul)."""
+    pq = jnp.dot(p, q.T, preferred_element_type=jnp.float32)
+    pp = jnp.sum(p * p, axis=-1, keepdims=True)
+    qq = jnp.sum(q * q, axis=-1, keepdims=True)
+    return pp + qq.T - 2.0 * pq
+
+
+def nearest_neighbor(p: jnp.ndarray, q: jnp.ndarray,
+                     tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """For each point in p [N,3], the min squared distance to q [M,3] and its index.
+
+    Tiled over q: replaces the reference's full p2p matrix + torch.min
+    (loss_functions.py:93-102) without ever building [N, M].
+    """
+    N = p.shape[0]
+    M = q.shape[0]
+    T = min(tile, M)
+    num_tiles = -(-M // T)
+    pad = num_tiles * T - M
+    q_pad = jnp.pad(q, ((0, pad), (0, 0)))
+    q_tiles = q_pad.reshape(num_tiles, T, 3)
+
+    def body(carry, inp):
+        best_d, best_i = carry
+        t_idx, q_t = inp
+        d = _dist_block(p, q_t)                        # [N, T]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + t_idx * T
+        d = jnp.where(col < M, d, jnp.inf)             # mask padding
+        tile_min = jnp.min(d, axis=1)
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + t_idx * T
+        take = tile_min < best_d
+        return (jnp.where(take, tile_min, best_d),
+                jnp.where(take, tile_arg, best_i)), None
+
+    init = (jnp.full((N,), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((N,), dtype=jnp.int32))
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0)[:, 0]
+    (best_d, best_i), _ = jax.lax.scan(body, init, (t_ids, q_tiles))
+    return best_d, best_i
+
+
+def knn(p: jnp.ndarray, q: jnp.ndarray, k: int,
+        tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbours in q for every point of p (squared distances).
+
+    Tiled running top-k: each scan step concatenates the carried k best with the
+    tile's distances and re-selects k. Returns (dists [N,k], idx [N,k]).
+    """
+    N = p.shape[0]
+    M = q.shape[0]
+    T = min(tile, M)
+    num_tiles = -(-M // T)
+    pad = num_tiles * T - M
+    q_pad = jnp.pad(q, ((0, pad), (0, 0)))
+    q_tiles = q_pad.reshape(num_tiles, T, 3)
+
+    def body(carry, inp):
+        best_d, best_i = carry                          # [N,k], [N,k]
+        t_idx, q_t = inp
+        d = _dist_block(p, q_t)                         # [N,T]
+        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + t_idx * T
+        d = jnp.where(col < M, d, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        neg_top, pos = jax.lax.top_k(-cat_d, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (-neg_top, new_i), None
+
+    init = (jnp.full((N, k), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((N, k), dtype=jnp.int32))
+    t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0)[:, 0]
+    (best_d, best_i), _ = jax.lax.scan(body, init, (t_ids, q_tiles))
+    return best_d, best_i
+
+
+def chamfer_distance(p: jnp.ndarray, q: jnp.ndarray, tile: int = 2048):
+    """Summed two-sided chamfer terms plus NN indices for one cloud pair.
+
+    Matches the reference convention (loss_functions.py:93-102): *sums* of min
+    squared distances (no mean); the caller divides by the cloud size once
+    (loss_functions.py:65-66).
+
+    Returns (sum_p_to_q, idx_p, sum_q_to_p, idx_q).
+    """
+    d_p, idx_p = nearest_neighbor(p, q, tile)
+    d_q, idx_q = nearest_neighbor(q, p, tile)
+    return jnp.sum(d_p), idx_p, jnp.sum(d_q), idx_q
+
+
+def smallest_eigenvector(S: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of symmetric 3x3 matrices [..., 3, 3].
+
+    Closed-form trigonometric eigenvalues + cross-product eigenvectors — the in-kernel
+    replacement for the reference's CPU ``torch.symeig`` round-trip
+    (loss_functions.py:159-161). Degenerate (near-isotropic) neighbourhoods fall back
+    to the +z axis.
+    """
+    eps = 1e-12
+    tr = jnp.trace(S, axis1=-2, axis2=-1)
+    qm = tr / 3.0
+    I = jnp.eye(3, dtype=S.dtype)
+    A = S - qm[..., None, None] * I
+    p2 = jnp.sum(A * A, axis=(-2, -1))
+    pval = jnp.sqrt(jnp.maximum(p2 / 6.0, eps))
+    B = A / pval[..., None, None]
+    detB = jnp.linalg.det(B)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # eigenvalues: eig1 >= eig2 >= eig3
+    eig1 = qm + 2.0 * pval * jnp.cos(phi)
+    eig3 = qm + 2.0 * pval * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # eigenvector for eig3: null space of (S - eig3 I); use the largest cross
+    # product of two rows as the most numerically independent choice.
+    C = S - eig3[..., None, None] * I
+    r0, r1, r2 = C[..., 0, :], C[..., 1, :], C[..., 2, :]
+    c01 = jnp.cross(r0, r1)
+    c12 = jnp.cross(r1, r2)
+    c02 = jnp.cross(r0, r2)
+    n01 = jnp.sum(c01 * c01, axis=-1)
+    n12 = jnp.sum(c12 * c12, axis=-1)
+    n02 = jnp.sum(c02 * c02, axis=-1)
+    best = jnp.stack([n01, n12, n02], axis=-1)
+    choice = jnp.argmax(best, axis=-1)
+    vecs = jnp.stack([c01, c12, c02], axis=-2)          # [..., 3 choices, 3]
+    v = jnp.take_along_axis(vecs, choice[..., None, None].astype(jnp.int32)
+                            .repeat(3, axis=-1), axis=-2)[..., 0, :]
+    norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    degenerate = (norm[..., 0] < 1e-9) | (p2 < 1e-18)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=S.dtype), v.shape)
+    v = jnp.where(degenerate[..., None], fallback, v / jnp.maximum(norm, 1e-12))
+    return v
+
+
+def compute_normals(pts: jnp.ndarray, k: int = 10, tile: int = 2048) -> jnp.ndarray:
+    """PCA surface normals of one cloud [N, 3] from its k nearest neighbours.
+
+    Follows the reference's construction (loss_functions.py:129-170): neighbourhood
+    mean, scatter matrix Y^T Y, eigenvector of the smallest eigenvalue. Deviation
+    (documented per SURVEY.md §6): neighbours are found *within the cloud itself*;
+    the reference passes the cross-cloud distance matrix and gathers own-cloud points
+    at other-cloud indices (loss_functions.py:119-122, 141-146), which mixes the two
+    clouds' index spaces — a bug we do not reproduce.
+    """
+    _, idx = knn(pts, pts, k, tile)
+    neigh = pts[idx]                                     # [N, k, 3]
+    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    Y = neigh - mean
+    S = jnp.einsum("nkd,nke->nde", Y, Y)
+    return smallest_eigenvector(S)
+
+
+def normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
+                    idx_q: jnp.ndarray, k: int = 10,
+                    tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-sided summed |cos| alignment between each point's normal and its NN's normal.
+
+    Mirrors the reference ``batched_normal_distance`` (loss_functions.py:107-126) with
+    corrected per-cloud normal estimation. Returns (sum_p, sum_q).
+    """
+    n_p = compute_normals(p, k=k, tile=tile)
+    n_q = compute_normals(q, k=k, tile=tile)
+    align_p = jnp.sum(jnp.abs(jnp.sum(n_p * n_q[idx_p], axis=-1)))
+    align_q = jnp.sum(jnp.abs(jnp.sum(n_q * n_p[idx_q], axis=-1)))
+    return align_p, align_q

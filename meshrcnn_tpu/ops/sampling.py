@@ -1,0 +1,87 @@
+"""Differentiable surface point sampling from padded meshes.
+
+TPU-native redesign of the reference's ``sample`` (reference: utils/mesh_sampling.py:6-36,
+after https://arxiv.org/pdf/1901.11461.pdf): area-weighted face selection followed by
+the sqrt-barycentric trick. The reference uses ``torch.multinomial`` (native CUDA op,
+SURVEY.md §2.9); here face selection is inverse-CDF sampling with ``jax.random`` —
+a cumsum over face probabilities plus a vectorised ``searchsorted`` — which is fully
+jittable and respects face masks (padded faces have zero area, hence zero probability).
+
+Barycentric weights match the reference exactly (mesh_sampling.py:20-31):
+    w0 = 1 - sqrt(xi1); w1 = (1 - xi2) sqrt(xi1); w2 = xi2 sqrt(xi1).
+The sampled cloud is normalized per sample exactly like the reference
+(mesh_sampling.py:33-34 -> process.py:7-20): centered, and scaled by the max point
+norm only if any |coordinate| exceeds 1.
+
+Gradients flow through the vertex positions (the face gather), matching the
+reference's effective gradient path (multinomial choice is non-differentiable there too).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meshrcnn_tpu.core.mesh import normalize_verts
+
+
+def face_areas(verts: jnp.ndarray, faces: jnp.ndarray,
+               faces_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Triangle surface areas |AB x AC| / 2 (reference: mesh_sampling.py:39-57).
+
+    verts [V, 3], faces [F, 3] -> [F]; masked faces get area 0.
+    """
+    tri = verts[faces]                       # [F, 3, 3]
+    ab = tri[:, 1] - tri[:, 0]
+    ac = tri[:, 2] - tri[:, 0]
+    n = jnp.cross(ab, ac)
+    areas = 0.5 * jnp.linalg.norm(n, axis=-1)
+    if faces_mask is not None:
+        areas = jnp.where(faces_mask, areas, 0.0)
+    return areas
+
+
+def sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
+                  faces_mask: jnp.ndarray, num_points: int,
+                  normalize: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sample a point cloud from one padded mesh.
+
+    Returns:
+      points [num_points, 3]; valid [] bool (False when the mesh has no real faces —
+      the cloud is then all zeros; callers zero the sample's loss, replacing the
+      reference's try/except batch skip).
+    """
+    k_face, k1, k2 = jax.random.split(key, 3)
+    areas = face_areas(verts, faces, faces_mask)
+    total = jnp.sum(areas)
+    valid = total > 1e-12
+    probs = areas / jnp.where(valid, total, 1.0)
+    cdf = jnp.cumsum(probs)
+    u = jax.random.uniform(k_face, (num_points,))
+    face_idx = jnp.searchsorted(cdf, u)
+    face_idx = jnp.clip(face_idx, 0, faces.shape[0] - 1)
+
+    chosen = verts[faces[face_idx]]          # [N, 3, 3]
+    xi1_sqrt = jnp.sqrt(jax.random.uniform(k1, (num_points,)))
+    xi2 = jax.random.uniform(k2, (num_points,))
+    w0 = 1.0 - xi1_sqrt
+    w1 = (1.0 - xi2) * xi1_sqrt
+    w2 = xi2 * xi1_sqrt
+    ws = jnp.stack([w0, w1, w2], axis=-1)    # [N, 3]
+    pts = jnp.einsum("nvd,nv->nd", chosen, ws)
+    if normalize:
+        pts = normalize_verts(pts)
+    pts = jnp.where(valid, pts, 0.0)
+    return pts, valid
+
+
+def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
+                          faces_mask: jnp.ndarray, num_points: int,
+                          normalize: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched sampling: verts [B,V,3], faces [B,F,3], faces_mask [B,F].
+
+    Replaces the reference's per-sample Python loop ``batched_mesh_sampling``
+    (loss_functions.py:80-89) with a vmap. Returns ([B, N, 3], [B] valid).
+    """
+    keys = jax.random.split(key, verts.shape[0])
+    return jax.vmap(sample_points, in_axes=(0, 0, 0, 0, None, None))(
+        keys, verts, faces, faces_mask, num_points, normalize)

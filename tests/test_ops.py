@@ -1,0 +1,215 @@
+"""Golden-value tests for the op library, ported from the reference test suite
+(reference: tests/test_loss_functions.py, tests/test_layers.py) and adapted to the
+padded fixed-capacity representation.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meshrcnn_tpu.ops.chamfer import (_dist_block, chamfer_distance, compute_normals,
+                                      knn, nearest_neighbor, smallest_eigenvector)
+from meshrcnn_tpu.ops.graph_conv import aggregate_neighbours
+from meshrcnn_tpu.ops.losses import edge_loss, voxel_loss
+from meshrcnn_tpu.ops.sampling import batched_sample_points, face_areas, sample_points
+from meshrcnn_tpu.ops.vert_align import vert_align
+
+
+def dummy(*dims):
+    """Deterministic arange tensor factory (reference: meshRCNN/utils.py:103-108)."""
+    s = 1
+    for d in dims:
+        s *= d
+    return jnp.arange(s, dtype=jnp.float32).reshape(*dims)
+
+
+# ---------------------------------------------------------------- distances
+
+def test_p2p_distance_golden():
+    # reference: tests/test_loss_functions.py:13-31
+    a = dummy(5, 3)
+    expected = np.array([[0, 27, 108, 243, 432],
+                         [27, 0, 27, 108, 243],
+                         [108, 27, 0, 27, 108],
+                         [243, 108, 27, 0, 27],
+                         [432, 243, 108, 27, 0]], dtype=np.float32)
+    got = np.asarray(_dist_block(a, a))
+    assert np.allclose(got, expected, rtol=1e-5, atol=1e-3)
+
+
+def test_nearest_neighbor_tiling_matches_dense():
+    key = jax.random.PRNGKey(0)
+    p = jax.random.normal(key, (97, 3))
+    q = jax.random.normal(jax.random.fold_in(key, 1), (53, 3))
+    dense = np.asarray(_dist_block(p, q))
+    d, i = nearest_neighbor(p, q, tile=16)  # force multiple ragged tiles
+    assert np.allclose(np.asarray(d), dense.min(axis=1), atol=1e-4)
+    assert (np.asarray(i) == dense.argmin(axis=1)).all()
+
+
+def test_chamfer_golden():
+    # reference: tests/test_loss_functions.py:75-96 — dummy clouds, sums 300 and 21
+    pt0 = dummy(10, 3)
+    pt1 = dummy(7, 3) + 1
+    l0, idx0, l1, idx1 = chamfer_distance(pt0, pt1, tile=4)
+    assert idx0.shape == (10,) and idx1.shape == (7,)
+    assert float(l0) == 300
+    assert float(l1) == 21
+
+
+def test_knn_matches_dense():
+    key = jax.random.PRNGKey(3)
+    p = jax.random.normal(key, (64, 3))
+    d, i = knn(p, p, k=5, tile=16)
+    dense = np.asarray(_dist_block(p, p))
+    expect = np.sort(dense, axis=1)[:, :5]
+    assert np.allclose(np.sort(np.asarray(d), axis=1), expect, atol=1e-4)
+
+
+# ---------------------------------------------------------------- aggregation
+
+def test_aggregate_neighbours():
+    # adapted from reference tests/test_layers.py:16-26 to unique undirected edges
+    f = jnp.asarray([[1., 2, 3], [4, 5, 6], [7, 8, 9]])[None]
+    edges = jnp.asarray([[[0, 1], [1, 2], [0, 0]]], dtype=jnp.int32)
+    mask = jnp.asarray([[True, True, False]])
+    out = np.asarray(aggregate_neighbours(f, edges, mask))[0]
+    expected = np.array([[4, 5, 6], [8, 10, 12], [4, 5, 6]], dtype=np.float32)
+    assert np.allclose(out, expected)
+
+
+def test_aggregate_mask_kills_padded_edges():
+    f = jnp.ones((1, 4, 2))
+    edges = jnp.zeros((1, 5, 2), dtype=jnp.int32)  # all padded at vertex 0
+    mask = jnp.zeros((1, 5), dtype=bool)
+    out = np.asarray(aggregate_neighbours(f, edges, mask))
+    assert (out == 0).all()
+
+
+# ---------------------------------------------------------------- losses
+
+def test_edge_loss_golden():
+    # reference: tests/test_loss_functions.py:57-72 — expected (d01 + d12) / 2 = 27
+    pos = dummy(10, 3)[None]
+    edges = jnp.asarray([[[0, 1], [1, 2], [0, 0]]], dtype=jnp.int32)
+    mask = jnp.asarray([[True, True, False]])
+    got = float(edge_loss(pos, edges, mask))
+    assert np.isclose(got, 27.0)
+
+
+def test_voxel_loss():
+    pred = jnp.asarray([[0.9, 0.1], [0.8, 0.2]])
+    gt = jnp.asarray([[1.0, 0.0], [1.0, 0.0]])
+    expected = -np.mean([np.log(0.9), np.log(0.9), np.log(0.8), np.log(0.8)])
+    assert np.isclose(float(voxel_loss(pred, gt)), expected, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- sampling
+
+FIXTURE_POS = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 1], [0, 0, 2], [0, 2, 0],
+                        [0, 1, 5], [2, 2, 2], [2, 7, 0], [2, 3, 5], [2, 7, 8],
+                        [0, 3, 2]], dtype=np.float32)
+FIXTURE_FACES = np.array([[1, 2, 8], [3, 4, 5], [0, 1, 7], [6, 9, 10]], dtype=np.int32)
+
+
+def test_face_areas_golden():
+    # reference: tests/test_loss_functions.py:99-125
+    areas = np.asarray(face_areas(jnp.asarray(FIXTURE_POS), jnp.asarray(FIXTURE_FACES)))
+    expected = np.array([1.22474, 4., 3.5, 8.3666], dtype=np.float32)
+    assert np.allclose(areas, expected, rtol=1e-4)
+
+
+def test_sampling_shape_and_support():
+    # reference: tests/test_loss_functions.py:128-149
+    key = jax.random.PRNGKey(0)
+    mask = jnp.ones((4,), dtype=bool)
+    pts, valid = sample_points(key, jnp.asarray(FIXTURE_POS), jnp.asarray(FIXTURE_FACES),
+                               mask, 2000, normalize=False)
+    assert pts.shape == (2000, 3)
+    assert bool(valid)
+    # every sampled point is a convex combination of its face's vertices ->
+    # inside the mesh bounding box
+    p = np.asarray(pts)
+    assert (p >= FIXTURE_POS.min(0) - 1e-4).all() and (p <= FIXTURE_POS.max(0) + 1e-4).all()
+
+
+def test_sampling_respects_face_mask():
+    key = jax.random.PRNGKey(1)
+    # mask out all but face 1 (verts 3,4,5) — all samples must be on that triangle
+    mask = jnp.asarray([False, True, False, False])
+    pts, valid = sample_points(key, jnp.asarray(FIXTURE_POS), jnp.asarray(FIXTURE_FACES),
+                               mask, 500, normalize=False)
+    tri = FIXTURE_POS[[3, 4, 5]]
+    p = np.asarray(pts)
+    assert (p >= tri.min(0) - 1e-4).all() and (p <= tri.max(0) + 1e-4).all()
+
+
+def test_sampling_empty_mesh():
+    key = jax.random.PRNGKey(2)
+    mask = jnp.zeros((4,), dtype=bool)
+    pts, valid = sample_points(key, jnp.asarray(FIXTURE_POS), jnp.asarray(FIXTURE_FACES),
+                               mask, 100)
+    assert not bool(valid)
+    assert (np.asarray(pts) == 0).all()
+
+
+def test_batched_sampling_normalized():
+    key = jax.random.PRNGKey(3)
+    verts = jnp.asarray(np.stack([FIXTURE_POS, FIXTURE_POS * 2.0]))
+    faces = jnp.asarray(np.stack([FIXTURE_FACES, FIXTURE_FACES]))
+    mask = jnp.ones((2, 4), dtype=bool)
+    pts, valid = batched_sample_points(key, verts, faces, mask, 1000)
+    assert pts.shape == (2, 1000, 3)
+    # normalize_mesh semantics: centered; max norm <= 1 when scaling triggered
+    p = np.asarray(pts)
+    norms = np.linalg.norm(p, axis=-1)
+    assert (norms <= 1.0 + 1e-4).all()
+    assert np.allclose(p.mean(axis=1), 0.0, atol=1e-2)
+
+
+# ---------------------------------------------------------------- normals
+
+def test_smallest_eigenvector_matches_lapack():
+    rng = np.random.RandomState(0)
+    A = rng.randn(50, 3, 3).astype(np.float32)
+    S = A @ A.transpose(0, 2, 1)
+    v = np.asarray(smallest_eigenvector(jnp.asarray(S)))
+    w, V = np.linalg.eigh(S)
+    expect = V[:, :, 0]  # eigenvector of smallest eigenvalue
+    dots = np.abs(np.sum(v * expect, axis=-1))
+    assert (dots > 0.999).all()
+
+
+def test_compute_normals_plane():
+    rng = np.random.RandomState(1)
+    pts = np.zeros((200, 3), dtype=np.float32)
+    pts[:, :2] = rng.randn(200, 2)  # z = 0 plane
+    normals = np.asarray(compute_normals(jnp.asarray(pts), k=10, tile=64))
+    assert (np.abs(normals[:, 2]) > 0.99).all()
+
+
+# ---------------------------------------------------------------- vert_align
+
+def test_vert_align_shapes():
+    # reference: tests/test_layers.py:37-54 — pyramid gives sum-channel 3840
+    key = jax.random.PRNGKey(0)
+    B, V = 2, 50
+    H = W = 137
+    fmaps = [jax.random.normal(jax.random.fold_in(key, i), (B, s, s, c))
+             for i, (s, c) in enumerate([(35, 256), (18, 512), (9, 1024), (5, 2048)])]
+    verts = jax.random.uniform(jax.random.fold_in(key, 9), (B, V, 3),
+                               minval=1.0, maxval=40.0)
+    out = vert_align(fmaps, verts, (H, W))
+    assert out.shape == (B, V, 3840)
+
+    single = [jax.random.normal(key, (B, 12, 12, 256))]
+    out = vert_align(single, verts, (224, 224))
+    assert out.shape == (B, V, 256)
+
+
+def test_vert_align_bilinear_exact():
+    # constant feature map -> every in-range vertex pools exactly that constant
+    fmap = jnp.full((1, 8, 8, 4), 3.5)
+    verts = jnp.asarray([[[5.0, 5.0, -10.0], [1.0, 2.0, -3.0]]])
+    out = np.asarray(vert_align([fmap], verts, (64, 64)))
+    assert np.allclose(out, 3.5, atol=1e-5)
