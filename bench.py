@@ -1,0 +1,77 @@
+"""End-to-end training throughput benchmark on the flagship ShapeNet config.
+
+Measures full train-step throughput (backbone + voxel branch + cubify + 3 refinement
+stages + chamfer/normal/edge losses over 10k-point clouds + optimizer update) at the
+reference training recipe (batch 3, 137x137 images, 48^3 voxel grid, residual stages —
+BASELINE.md: 1.628 s/batch = 1.84 samples/s on multi-GPU NVIDIA).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 1.84  # BASELINE.md ShapeNet throughput
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from meshrcnn_tpu.core.batch import Batch
+    from meshrcnn_tpu.core.config import TrainConfig
+    from meshrcnn_tpu.models.shapenet import ShapeNetModel
+    from meshrcnn_tpu.parallel.train_step import create_train_state, make_train_step
+
+    B, H = 3, 137
+    model = ShapeNetModel(num_classes=13, residual=True, cubify_threshold=0.2,
+                          voxel_out_channels=48, vert_capacity=8192,
+                          face_capacity=16384, edge_capacity=32768,
+                          num_refinement_stages=3)
+    config = TrainConfig(optimizer="adam", lr=1e-4, weight_decay=0.0, batch_size=B,
+                         point_cloud_size=10000, normal_k=10, distance_tile=2048,
+                         train_backbone=False)
+
+    rng = np.random.RandomState(0)
+    # synthetic batch at the exact training shapes (airplane-recipe scale)
+    gt_v, gt_f = 2048, 4096
+    gt_verts = rng.randn(B, gt_v, 3).astype(np.float32) * 0.4
+    gt_faces = rng.randint(0, gt_v, (B, gt_f, 3)).astype(np.int32)
+    batch = Batch(
+        images=jnp.asarray(rng.rand(B, H, H, 3).astype(np.float32)),
+        voxels=jnp.asarray((rng.rand(B, 48, 48, 48) > 0.7).astype(np.float32)),
+        gt_verts=jnp.asarray(gt_verts),
+        gt_verts_mask=jnp.ones((B, gt_v), dtype=bool),
+        gt_faces=jnp.asarray(gt_faces),
+        gt_faces_mask=jnp.ones((B, gt_f), dtype=bool),
+        labels=jnp.asarray(rng.randint(0, 13, (B,)).astype(np.int32)))
+
+    state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
+    step = jax.jit(make_train_step(model, config))
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics)
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = B * n_steps / dt
+    print(json.dumps({
+        "metric": "shapenet_train_samples_per_sec",
+        "value": round(samples_per_sec, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Configuration dataclasses for models, losses and training.
+
+Mirrors the reference's flag surface (reference: train.py:19-74, eval_model.py:13-44,
+demo.py:18-40) as structured config; the CLI scripts build these from argparse so the
+command-line API matches the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class LossWeights:
+    """Weighted loss sum keys, matching train_gcn's loss_weights dict
+    (reference: utils/train_utils.py:208-225; flags train.py:42-52)."""
+    chamfer: float = 1.0
+    voxel: float = 1.0
+    normal: float = 0.1
+    edge: float = 0.5
+    backbone: float = 1.0
+
+
+@dataclasses.dataclass
+class CapacityConfig:
+    """Static per-sample capacities for padded mesh buffers (SURVEY.md §7)."""
+    verts: int = 8192
+    faces: int = 16384
+    edges: int = 32768
+    gt_verts: int = 4096
+    gt_faces: int = 8192
+
+
+@dataclasses.dataclass
+class ShapeNetConfig:
+    """ShapeNet model hyperparameters (reference: shapenet_model.py:18-24)."""
+    num_classes: int = 13
+    residual: bool = False
+    cubify_threshold: float = 0.2
+    vertex_feature_dim: int = 128
+    num_refinement_stages: int = 3
+    voxel_only: bool = False
+    num_voxels: int = 48
+    image_size: int = 137
+    capacities: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+
+
+@dataclasses.dataclass
+class Pix3DConfig:
+    """Pix3D model hyperparameters (reference: pix3d_model.py:22-28)."""
+    num_classes: int = 10
+    cubify_threshold: float = 0.2
+    vertex_feature_dim: int = 128
+    num_refinement_stages: int = 3
+    voxel_only: bool = False
+    num_voxels: int = 24
+    detections_per_img: int = 3
+    capacities: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Optimizer / schedule / loop config (reference: train.py:56-74)."""
+    optimizer: str = "adam"           # 'adam' | 'sgd'
+    lr: float = 1e-4
+    weight_decay: float = 5e-6
+    batch_size: int = 16
+    epochs: int = 10
+    train_backbone: bool = False
+    point_cloud_size: int = 10000
+    normal_k: int = 10
+    distance_tile: int = 2048
+    loss_weights: LossWeights = dataclasses.field(default_factory=LossWeights)
+    # Pix3D LR schedule (reference: utils/train_utils.py:161-168): linear warmup
+    # 0.002 -> 0.02 over first 1k iters, /10 at 8k and 10k.
+    pix3d_schedule: bool = False
+    seed: int = 0
+    num_devices: Optional[int] = None  # None = all local devices

@@ -4,10 +4,18 @@ Mirrors the reference's device parametrization strategy (reference:
 tests/test_layers.py:10-15 runs every test on cpu and cuda): here every test runs on
 the CPU XLA backend, and sharding-aware tests see an 8-device virtual mesh via
 --xla_force_host_platform_device_count, per SURVEY.md §4.
+
+The session environment pins JAX_PLATFORMS=axon (single tunneled TPU chip) through a
+sitecustomize hook, so the env var alone is not enough — we also update jax.config
+after import.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
