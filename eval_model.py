@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Dataset evaluation script — CLI mirrors the reference (reference: eval_model.py:13-44).
+
+Computes voxel/chamfer/normal/edge losses, the reference's confusion-based
+f0_1/f0_3/f0_5 and true point-cloud F1@0.1/0.3, then pickles the metrics dict to
+``metrics_<model>.st`` (reference: eval_model.py:123-127).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+parser = argparse.ArgumentParser(description="dataset evaluation script")
+parser.add_argument("--model", "-m", choices=["ShapeNet", "Pix3D"], required=True)
+parser.add_argument("--featDim", type=int, default=128)
+parser.add_argument("--model_path", type=str, default="",
+                    help="path to the checkpoint to evaluate")
+parser.add_argument("--num_refinement_stages", "-nr", type=int, default=3)
+parser.add_argument("--threshold", "-th", type=float, default=0.2)
+parser.add_argument("--residual", default=False, action="store_true")
+parser.add_argument("--test_ratio", type=float, default=1.0,
+                    help="ratio of samples to test")
+parser.add_argument("-c", "--classes", type=str, default=None)
+parser.add_argument("--dataRoot", type=str, default="synthetic")
+parser.add_argument("--batchSize", "-b", type=int, default=16)
+parser.add_argument("--workers", type=int, default=4)
+parser.add_argument("--output_path", type=str, default=".")
+parser.add_argument("--vert_capacity", type=int, default=8192)
+parser.add_argument("--face_capacity", type=int, default=16384)
+parser.add_argument("--edge_capacity", type=int, default=32768)
+parser.add_argument("--point_cloud_size", type=int, default=10000)
+
+
+def main():
+    options = parser.parse_args()
+    import jax
+
+    from meshrcnn_tpu.core.config import CapacityConfig, TrainConfig
+    from meshrcnn_tpu.data.datasets import (SyntheticDataset, dataLoader,
+                                            pix3dDataset, shapeNet_Dataset)
+    from meshrcnn_tpu.harness import validate
+    from meshrcnn_tpu.models.shapenet import ShapeNetModel
+    from meshrcnn_tpu.parallel.train_step import create_train_state, make_eval_step
+    from meshrcnn_tpu.utils.checkpoint import load_state
+    from meshrcnn_tpu.utils.meters import safe_print
+
+    is_pix3d = options.model == "Pix3D"
+    if is_pix3d:
+        raise SystemExit("Pix3D evaluation wiring lands with the detection stack")
+
+    classes = options.classes.split(",") if options.classes else None
+    capacities = CapacityConfig(verts=options.vert_capacity,
+                                faces=options.face_capacity,
+                                edges=options.edge_capacity)
+    config = TrainConfig(point_cloud_size=options.point_cloud_size,
+                         batch_size=options.batchSize)
+    num_voxels = 24 if is_pix3d else 48
+
+    if options.dataRoot == "synthetic":
+        dataset = SyntheticDataset(n=64, image_size=137, num_voxels=32)
+    else:
+        dataset = shapeNet_Dataset(options.dataRoot, classes)
+    # reference eval: test=True split with 1 - test_ratio train fraction
+    loader = dataLoader(dataset, options.batchSize, num_voxels, capacities,
+                        test=True, train_ratio=max(1e-9, 1.0 - options.test_ratio))
+
+    model = ShapeNetModel(num_classes=13, residual=options.residual,
+                          cubify_threshold=options.threshold,
+                          vertex_feature_dim=options.featDim,
+                          num_refinement_stages=options.num_refinement_stages,
+                          vert_capacity=capacities.verts,
+                          face_capacity=capacities.faces,
+                          edge_capacity=capacities.edges)
+    sample_batch = next(iter(loader))
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(model, config, rng, np.asarray(sample_batch.images))
+    if options.model_path:
+        state = load_state(options.model_path, state)
+        safe_print(f"loaded checkpoint {options.model_path}")
+
+    eval_step = make_eval_step(model)
+    results = validate(0, eval_step, state, loader, config, num_classes=13, rng=rng)
+    safe_print({k: v for k, v in results.items() if k != "confusion"})
+
+    os.makedirs(options.output_path, exist_ok=True)
+    out = os.path.join(options.output_path, f"metrics_{options.model}.st")
+    with open(out, "wb") as f:
+        pickle.dump(results, f)
+    safe_print(f"metrics saved to {out}")
+
+
+if __name__ == "__main__":
+    main()

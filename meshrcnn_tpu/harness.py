@@ -1,0 +1,149 @@
+"""Epoch-level training and validation loops.
+
+Rebuilds the reference harness (reference: utils/train_utils.py:110-250,
+utils/eval_utils.py:93-194) around jitted steps: one compiled train step per batch
+(no silent exception swallowing — capacity overflows surface as a metric), and an
+eval loop that recomputes voxel+mesh losses as metrics, accumulates the
+classification confusion matrix, and reports both the reference's confusion-based
+f0_1/f0_3/f0_5 *and* the paper-correct point-cloud F1@0.1/0.3 (SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meshrcnn_tpu.core.batch import Batch
+from meshrcnn_tpu.core.config import TrainConfig
+from meshrcnn_tpu.ops.losses import batched_mesh_loss, voxel_loss
+from meshrcnn_tpu.ops.sampling import batched_sample_points
+from meshrcnn_tpu.ops.chamfer import nearest_neighbor
+from meshrcnn_tpu.utils.meters import AverageMeter, ProgressMeter, gcn_metrics, safe_print
+from meshrcnn_tpu.utils.metrics import f_score
+
+
+def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, AverageMeter],
+                rng: jax.Array, print_freq: int = 10, shard_fn: Optional[Callable] = None):
+    """One training epoch (reference: train_utils.py:174-250)."""
+    progress = ProgressMeter(len(loader), meters.values(), prefix=f"Epoch: [{epoch}]")
+    end = time.time()
+    for i, batch in enumerate(loader):
+        meters["data_loading"].update(time.time() - end)
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None, batch)
+        if shard_fn is not None:
+            batch = shard_fn(batch)
+        key = jax.random.fold_in(rng, epoch * 100000 + i)
+        state, metrics = step_fn(state, batch, key)
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            if k not in meters:
+                meters[k] = AverageMeter(k, ":.4f")
+            meters[k].update(float(v))
+        meters["batch_time"].update(time.time() - end)
+        end = time.time()
+        if i % print_freq == 0:
+            progress.display(i)
+    for m in meters.values():
+        m.epoch_end()
+    return state, meters
+
+
+from functools import partial
+
+_voxel_loss_j = jax.jit(voxel_loss)
+
+
+@partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile"))
+def _mesh_eval_losses(key, stage_verts, mesh, gt_verts, gt_faces, gt_faces_mask,
+                      point_cloud_size, num_neighbours, tile):
+    return batched_mesh_loss(key, stage_verts, mesh, gt_verts, gt_faces,
+                             gt_faces_mask, point_cloud_size=point_cloud_size,
+                             num_neighbours=num_neighbours, tile=tile)
+
+
+@partial(jax.jit, static_argnames=("point_cloud_size", "tile"))
+def _f1_distances(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_mask,
+                  point_cloud_size, tile):
+    """Sampled-cloud squared NN distances both ways, for F1@tau thresholds."""
+    k_p, k_g = jax.random.split(key)
+    cloud_p, valid_p = batched_sample_points(k_p, verts, faces, faces_mask,
+                                             point_cloud_size)
+    cloud_g, valid_g = batched_sample_points(k_g, gt_verts, gt_faces, gt_faces_mask,
+                                             point_cloud_size)
+    nn = jax.vmap(lambda p, q: nearest_neighbor(p, q, tile)[0])
+    return nn(cloud_p, cloud_g), nn(cloud_g, cloud_p), valid_p & valid_g
+
+
+def validate(epoch: int, eval_step: Callable, state, loader,
+             config: TrainConfig, num_classes: int, rng: jax.Array,
+             voxel_only: bool = False, f1_taus=(0.1, 0.3),
+             print_freq: int = 10) -> dict:
+    """Dataset evaluation (reference: eval_utils.py:93-194).
+
+    Returns a metrics dict with voxel/chamfer/normal/edge losses, the reference's
+    confusion-based f0_1/f0_3/f0_5 (eval_utils.py:177-179) and true point-cloud
+    F1@tau (the BASELINE.md north-star metric).
+    """
+    meters = gcn_metrics(voxel_only)
+    confusion = np.zeros((num_classes, num_classes), dtype=np.int64)
+    f1_sums = {t: 0.0 for t in f1_taus}
+    f1_count = 0
+    end = time.time()
+    for i, batch in enumerate(loader):
+        meters["data_loading"].update(time.time() - end)
+        images = jnp.asarray(batch.images)
+        out = eval_step(state, images)
+        key = jax.random.fold_in(rng, i)
+
+        meters["voxel_loss"].update(float(_voxel_loss_j(out.voxels,
+                                                        jnp.asarray(batch.voxels))))
+
+        preds = np.asarray(jnp.argmax(out.logits, axis=-1))
+        for p, t in zip(preds, np.asarray(batch.labels)):
+            confusion[int(t), int(p)] += 1
+
+        if not voxel_only:
+            chamfer, normal, edge = _mesh_eval_losses(
+                key, list(out.stage_verts[1:]), out.mesh,
+                jnp.asarray(batch.gt_verts), jnp.asarray(batch.gt_faces),
+                jnp.asarray(batch.gt_faces_mask),
+                point_cloud_size=config.point_cloud_size,
+                num_neighbours=config.normal_k, tile=config.distance_tile)
+            meters["chamfer_loss"].update(float(chamfer))
+            meters["normal_loss"].update(float(normal))
+            meters["edge_loss"].update(float(edge))
+
+            # true point-cloud F1@tau on the final stage: one batched NN pass,
+            # taus are host-side thresholds on the squared NN distances
+            d_p, d_g, valid = _f1_distances(
+                jax.random.fold_in(key, 7), out.stage_verts[-1], out.mesh.faces,
+                out.mesh.faces_mask, jnp.asarray(batch.gt_verts),
+                jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+                config.point_cloud_size, config.distance_tile)
+            d_p, d_g, valid = np.asarray(d_p), np.asarray(d_g), np.asarray(valid)
+            for b in range(images.shape[0]):
+                if valid[b]:
+                    for tau in f1_taus:
+                        thr = tau * tau
+                        prec = float((d_p[b] < thr).mean())
+                        rec = float((d_g[b] < thr).mean())
+                        f1_sums[tau] += 2 * prec * rec / max(prec + rec, 1e-12)
+                    f1_count += 1
+
+        meters["batch_time"].update(time.time() - end)
+        end = time.time()
+        if i % print_freq == 0:
+            safe_print(f"eval [{i}/{len(loader)}] voxel {meters['voxel_loss'].avg:.4f}")
+
+    results = {k: m.avg for k, m in meters.items()}
+    # reference parity: F-beta over the classification confusion matrix
+    for beta, name in ((0.1, "f0_1"), (0.3, "f0_3"), (0.5, "f0_5")):
+        results[name] = float(np.nanmean(f_score(confusion, beta=beta)))
+    for tau in f1_taus:
+        results[f"F1@{tau}"] = f1_sums[tau] / max(f1_count, 1)
+    results["confusion"] = confusion
+    return results

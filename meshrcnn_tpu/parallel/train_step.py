@@ -69,8 +69,15 @@ def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
 
 
 def create_train_state(model, config: TrainConfig, rng: jax.Array,
-                       sample_images: jnp.ndarray) -> TrainState:
-    variables = model.init(rng, sample_images, train=False)
+                       sample_images: jnp.ndarray, init_image_size: int = 64) -> TrainState:
+    # Two compile-time tricks: (1) jit the init — tracing eagerly would dispatch
+    # cubify's large scatters op-by-op (minutes over a tunneled device); (2) init on
+    # a small dummy image — no parameter shape depends on the spatial dims (convs,
+    # dense heads and batch-norm are all channel-shaped), and compiling the full
+    # 137x137/48^3 graph just to create params wastes minutes of XLA time.
+    shape = (1, init_image_size, init_image_size, jnp.shape(sample_images)[-1])
+    init = jax.jit(model.init, static_argnames=("train",))
+    variables = init(rng, jnp.zeros(shape, jnp.float32), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(config, params)

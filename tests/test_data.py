@@ -1,0 +1,118 @@
+"""Data-layer tests: IO round trips, voxel resampling, split parity, collate.
+
+Mirrors the reference's round-trip IO tests (reference:
+tests/utils_tests/test_utils.py:7-28) with generated fixtures.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from meshrcnn_tpu.core.config import CapacityConfig
+from meshrcnn_tpu.data.datasets import DataLoader, SyntheticDataset, collate
+from meshrcnn_tpu.data.process import normalize_mesh, resample_voxels
+from meshrcnn_tpu.data.serialization import (load_mesh, load_voxels, read_binvox,
+                                             save_mesh, save_voxels, write_binvox)
+
+CUBE_VERTS = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
+                       [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]], dtype=np.float32)
+CUBE_FACES = np.array([[0, 1, 2], [1, 3, 2], [4, 6, 5], [5, 6, 7],
+                       [0, 4, 1], [1, 4, 5], [2, 3, 6], [3, 7, 6],
+                       [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]], dtype=np.int64)
+
+
+def test_obj_round_trip(tmp_path):
+    path = str(tmp_path / "cube")
+    save_mesh(CUBE_VERTS, CUBE_FACES, path)
+    mesh = load_mesh(path + ".obj")
+    assert np.allclose(mesh.vertices, CUBE_VERTS)
+    assert (mesh.faces == CUBE_FACES).all()
+
+
+def test_obj_polygon_fan(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1/1 2/2 3/3 4/4\n")
+    mesh = load_mesh(str(p))
+    # the reference strip-triangulates polygons with a sliding window
+    # (serialization.py:117-121): [1,2,3,4] -> (1,2,3), (2,3,4)
+    assert mesh.faces.shape == (2, 3)
+    assert (mesh.faces == np.array([[0, 1, 2], [1, 2, 3]])).all()
+
+
+def test_voxel_npy_round_trip(tmp_path):
+    v = (np.random.RandomState(0).rand(8, 8, 8) > 0.5).astype(np.float32)
+    path = str(tmp_path / "vox.npy")
+    save_voxels(v, path[:-4])
+    loaded = load_voxels(path)
+    assert (loaded == (v > 0.5).astype(np.int32)).all()
+
+
+def test_binvox_round_trip(tmp_path):
+    v = np.zeros((16, 16, 16), dtype=bool)
+    v[3:9, 2:14, 5:7] = True
+    path = str(tmp_path / "m.binvox")
+    write_binvox(v, path)
+    loaded = load_voxels(path)
+    assert (loaded == v.astype(int)).all()
+
+
+def test_resample_voxels():
+    v = np.zeros((1, 32, 32, 32), dtype=np.float32)
+    v[0, 8:24, 8:24, 8:24] = 1.0
+    up = resample_voxels(v, 48)
+    assert up.shape == (1, 48, 48, 48)
+    assert up.sum() > 0
+    down = resample_voxels(v, 24)
+    assert down.shape == (1, 24, 24, 24)
+    # max pooling preserves occupancy
+    assert down.max() == 1.0 and down[0, 0, 0, 0] == 0.0
+    same = resample_voxels(v, 32)
+    assert (same == v).all()
+
+
+def test_normalize_mesh():
+    v = np.array([[10, 0, 0], [0, 10, 0], [0, 0, 10]], dtype=np.float32)
+    n = normalize_mesh(v)
+    assert np.allclose(n.mean(0), 0, atol=1e-5)
+    assert np.linalg.norm(n, axis=1).max() <= 1.0 + 1e-5
+    small = np.array([[0.1, 0, 0], [-0.1, 0, 0]], dtype=np.float32)
+    # inside unit cube: centered but NOT rescaled (reference: process.py:13-16)
+    assert np.allclose(np.abs(normalize_mesh(small))[:, 0], 0.1)
+
+
+def test_dataloader_split_matches_reference_convention():
+    ds = SyntheticDataset(n=20)
+    capacities = CapacityConfig(gt_verts=16, gt_faces=16)
+    train = DataLoader(ds, 2, 32, capacities, num_train_samples=15)
+    test = DataLoader(ds, 2, 32, capacities, test=True, num_train_samples=15)
+    # seed-42 shuffled split (reference: dataloader.py:303-304)
+    indices = list(range(20))
+    np.random.seed(42)
+    np.random.shuffle(indices)
+    assert train.indices == indices[:15]
+    assert test.indices == indices[15:]
+    assert set(train.indices).isdisjoint(test.indices)
+
+
+def test_collate_shapes():
+    ds = SyntheticDataset(n=4, image_size=64, num_voxels=32)
+    caps = CapacityConfig(gt_verts=16, gt_faces=16)
+    batch = collate([ds[i] for i in range(3)], num_voxels=48, capacities=caps)
+    assert batch.images.shape == (3, 64, 64, 3)
+    assert batch.voxels.shape == (3, 48, 48, 48)  # resampled 32 -> 48
+    assert batch.gt_verts.shape == (3, 16, 3)
+    assert batch.gt_faces.shape == (3, 16, 3)
+    assert batch.gt_verts_mask.sum(axis=1).tolist() == [8, 8, 8]
+    assert batch.gt_faces_mask.sum(axis=1).tolist() == [12, 12, 12]
+    assert batch.labels.shape == (3,)
+
+
+def test_dataloader_iterates_fixed_shapes():
+    ds = SyntheticDataset(n=8, image_size=48, num_voxels=16)
+    caps = CapacityConfig(gt_verts=16, gt_faces=16)
+    loader = DataLoader(ds, 4, 16, caps, num_train_samples=8)
+    batches = list(loader)
+    assert len(batches) == 2
+    for b in batches:
+        assert b.images.shape == (4, 48, 48, 3)
+        assert b.voxels.shape == (4, 16, 16, 16)
