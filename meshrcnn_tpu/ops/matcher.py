@@ -1,0 +1,72 @@
+"""Anchor/proposal-to-GT matching and balanced sampling, fixed-shape.
+
+TPU-native equivalents of torchvision's Matcher and BalancedPositiveNegativeSampler
+used by the reference's RPN and RoI heads (reference: pix3d_model.py:147,
+layers.py:702-704). Matching is an argmax over a fixed [N, G] IoU matrix with
+masked GT columns; sampling returns fixed-size index sets chosen by randomized
+top-k, so nothing in the train step has a data-dependent shape.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BELOW_LOW = -1
+BETWEEN = -2
+
+
+def match_boxes(iou: jnp.ndarray, gt_valid: jnp.ndarray, high: float, low: float,
+                allow_low_quality: bool = False) -> jnp.ndarray:
+    """For each row (anchor/proposal) return matched GT index, or BELOW_LOW /
+    BETWEEN sentinels (torchvision Matcher semantics).
+
+    iou: [N, G]; gt_valid: [G] bool (padded GT columns are ignored).
+    """
+    masked = jnp.where(gt_valid[None, :], iou, -1.0)
+    best_gt = jnp.argmax(masked, axis=1).astype(jnp.int32)
+    best_val = jnp.max(masked, axis=1)
+    matches = jnp.where(best_val >= high, best_gt,
+                        jnp.where(best_val < low, BELOW_LOW, BETWEEN))
+    if allow_low_quality:
+        # each GT's best anchor(s) are forced positive
+        gt_best = jnp.max(jnp.where(gt_valid[None, :], masked, -1.0), axis=0)  # [G]
+        is_best = (masked == gt_best[None, :]) & gt_valid[None, :] & (masked > 0)
+        force = jnp.any(is_best, axis=1)
+        forced_gt = jnp.argmax(is_best, axis=1).astype(jnp.int32)
+        matches = jnp.where(force, forced_gt, matches)
+    return matches
+
+
+def balanced_sample(key: jax.Array, positive: jnp.ndarray, negative: jnp.ndarray,
+                    num_samples: int, positive_fraction: float
+                    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sample up to num_samples indices with ~positive_fraction positives.
+
+    positive/negative: [N] bool masks. Returns (idx [num_samples] int32,
+    is_pos [num_samples] bool, valid [num_samples] bool). Selection is randomized
+    top-k: eligible rows get a random score, ineligible -inf; positives fill the
+    first num_pos slots, negatives the rest.
+    """
+    n = positive.shape[0]
+    k_p, k_n = jax.random.split(key)
+    num_pos_target = min(int(num_samples * positive_fraction), n)
+    num_neg_target = min(num_samples - num_pos_target, n)
+
+    pos_score = jnp.where(positive, jax.random.uniform(k_p, (n,)), -jnp.inf)
+    neg_score = jnp.where(negative, jax.random.uniform(k_n, (n,)), -jnp.inf)
+    pos_val, pos_idx = jax.lax.top_k(pos_score, num_pos_target)
+    neg_val, neg_idx = jax.lax.top_k(neg_score, num_neg_target)
+    pos_ok = pos_val > -jnp.inf
+    neg_ok = neg_val > -jnp.inf
+
+    idx = jnp.concatenate([pos_idx.astype(jnp.int32), neg_idx.astype(jnp.int32)])
+    is_pos = jnp.concatenate([pos_ok, jnp.zeros_like(neg_ok)])
+    valid = jnp.concatenate([pos_ok, neg_ok])
+    idx = jnp.where(valid, idx, 0)
+    return idx, is_pos, valid
+
+
+def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0 / 9.0) -> jnp.ndarray:
+    """Elementwise smooth-L1 (torchvision det convention, beta=1/9)."""
+    d = jnp.abs(pred - target)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)

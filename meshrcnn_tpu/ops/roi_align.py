@@ -1,0 +1,108 @@
+"""RoIAlign and multiscale (FPN) RoIAlign as batched XLA gathers.
+
+TPU-native replacement for torchvision's C++/CUDA ``MultiScaleRoIAlign``
+(reference: meshRCNN/layers.py:5, 819-842; pix3d_model.py:173-175; SURVEY.md §2.9).
+For each RoI an ``output_size x output_size`` grid of bins is sampled with
+``sampling_ratio`` bilinear points per bin and averaged — the exact RoIAlign
+semantics (Mask R-CNN paper) — implemented as one fixed-shape gather per FPN level
+with level assignment done by masking, so the whole op jits with static shapes.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def _roi_align_single_level(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
+                            output_size: int, sampling_ratio: int) -> jnp.ndarray:
+    """RoIAlign of one image's feature map [H, W, C] for boxes [R, 4] xyxy.
+
+    Returns [R, output_size, output_size, C].
+    """
+    H, W, C = fmap.shape
+    R = boxes.shape[0]
+    b = boxes * spatial_scale
+    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / output_size           # [R]
+    bin_h = roi_h / output_size
+    s = max(sampling_ratio, 1)
+
+    # sample grid: for bin (i,j), points at y1 + (i + (k+0.5)/s) * bin_h
+    grid = (jnp.arange(output_size)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)
+    grid = grid.reshape(-1)               # [output_size * s]
+    ys = y1[:, None] + grid[None, :] * bin_h[:, None]   # [R, os*s]
+    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+
+    ys = jnp.clip(ys, 0.0, H - 1)
+    xs = jnp.clip(xs, 0.0, W - 1)
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    fy = ys - y0
+    fx = xs - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+
+    flat = fmap.reshape(H * W, C)
+
+    def gather(yi, xi):                   # [R, P] x [R, Q] -> [R, P, Q, C]
+        idx = yi[:, :, None] * W + xi[:, None, :]
+        return flat[idx]
+
+    f00 = gather(y0i, x0i)
+    f01 = gather(y0i, x1i)
+    f10 = gather(y1i, x0i)
+    f11 = gather(y1i, x1i)
+    wy0 = (1.0 - fy)[:, :, None, None]
+    wy1 = fy[:, :, None, None]
+    wx0 = (1.0 - fx)[:, None, :, None]
+    wx1 = fx[:, None, :, None]
+    vals = (f00 * wy0 * wx0 + f01 * wy0 * wx1 + f10 * wy1 * wx0 + f11 * wy1 * wx1)
+    # [R, os*s, os*s, C] -> average s x s samples per bin
+    P = output_size
+    vals = vals.reshape(R, P, s, P, s, C)
+    return vals.mean(axis=(2, 4))
+
+
+def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
+              output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
+    """Batched single-level RoIAlign: fmap [B,H,W,C], boxes [B,R,4] -> [B,R,os,os,C]."""
+    fn = lambda fm, bx: _roi_align_single_level(fm, bx, spatial_scale,
+                                                output_size, sampling_ratio)
+    return jax.vmap(fn)(fmap, boxes)
+
+
+def multiscale_roi_align(feature_maps: Sequence[jnp.ndarray], boxes: jnp.ndarray,
+                         image_size: tuple[int, int], output_size: int,
+                         sampling_ratio: int = 2,
+                         canonical_scale: int = 224,
+                         canonical_level: int = 4) -> jnp.ndarray:
+    """FPN-level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics).
+
+    Level assignment: k = floor(k0 + log2(sqrt(area)/224)) clamped to available
+    levels (FPN paper eqn. 1). Every level is sampled for every box (fixed shapes)
+    and the assigned level's result is selected by mask — levels x one gather each,
+    no dynamic partitioning.
+
+    feature_maps: list of [B, H_l, W_l, C] from highest resolution to lowest.
+    boxes: [B, R, 4] xyxy in image coordinates. Returns [B, R, os, os, C].
+    """
+    num_levels = len(feature_maps)
+    H, W = image_size
+    areas = jnp.maximum((boxes[..., 2] - boxes[..., 0])
+                        * (boxes[..., 3] - boxes[..., 1]), 1e-6)
+    k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_scale))
+    k = jnp.clip(k, 2, 2 + num_levels - 1).astype(jnp.int32) - 2   # 0-based level
+
+    out = None
+    for lvl, fmap in enumerate(feature_maps):
+        scale = fmap.shape[1] / H  # spatial_scale of this level
+        pooled = roi_align(fmap, boxes, scale, output_size, sampling_ratio)
+        sel = (k == lvl)[..., None, None, None].astype(pooled.dtype)
+        out = pooled * sel if out is None else out + pooled * sel
+    return out

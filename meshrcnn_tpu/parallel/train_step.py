@@ -121,6 +121,46 @@ def shapenet_loss_fn(model, config: TrainConfig, params, batch_stats,
     return total, (metrics, updates.get("batch_stats", batch_stats))
 
 
+def pix3d_loss_fn(model, config: TrainConfig, params, batch_stats,
+                  batch: Batch, key: jax.Array):
+    """Forward + weighted loss sum for the Pix3D model.
+
+    reference: utils/train_utils.py:208-225 with the Mask R-CNN loss dict nested
+    under backbone_loss (dataParallel/gather.py:129-142 reduced each key; here the
+    keys are summed into the total like the reference's weighted sum does).
+    """
+    k_model, k_mesh = jax.random.split(key)
+    out, updates = model.apply({"params": params, "batch_stats": batch_stats},
+                               batch.images, train=True,
+                               gt_boxes=batch.boxes, gt_labels=batch.labels,
+                               gt_masks=batch.masks,
+                               rng=k_model, mutable=["batch_stats"])
+    w = config.loss_weights
+    v_loss = voxel_loss(out.voxels, batch.voxels)
+    metrics = {"voxel_loss": v_loss}
+    total = w.voxel * v_loss
+
+    backbone_total = 0.0
+    for name, val in out.backbone_losses.items():
+        metrics[name] = val
+        backbone_total = backbone_total + val
+    metrics["backbone_loss"] = backbone_total
+    total = total + w.backbone * backbone_total
+
+    if not model.voxel_only:
+        chamfer, normal, edge = batched_mesh_loss(
+            k_mesh, list(out.stage_verts[1:]), out.mesh,
+            batch.gt_verts, batch.gt_faces, batch.gt_faces_mask,
+            point_cloud_size=config.point_cloud_size,
+            num_neighbours=config.normal_k, tile=config.distance_tile)
+        metrics.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
+        total = total + w.chamfer * chamfer + w.normal * normal + w.edge * edge
+        metrics["overflow"] = (out.overflow.verts + out.overflow.faces
+                               + out.overflow.edges).sum().astype(jnp.float32)
+    metrics["loss"] = total
+    return total, (metrics, updates.get("batch_stats", batch_stats))
+
+
 def make_train_step(model, config: TrainConfig,
                     axis_name: Optional[str] = None) -> Callable:
     """Build the (optionally collective) jitted train step.
@@ -131,6 +171,8 @@ def make_train_step(model, config: TrainConfig,
     (dataParallel/gather.py:13-32).
     """
     tx = None  # built lazily against param structure
+    loss_fn = (pix3d_loss_fn if type(model).__name__ == "Pix3DModel"
+               else shapenet_loss_fn)
 
     def step(state: TrainState, batch: Batch, key: jax.Array):
         nonlocal tx
@@ -139,7 +181,7 @@ def make_train_step(model, config: TrainConfig,
         if axis_name is not None:
             key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         grad_fn = jax.value_and_grad(
-            lambda p: shapenet_loss_fn(model, config, p, state.batch_stats, batch, key),
+            lambda p: loss_fn(model, config, p, state.batch_stats, batch, key),
             has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(state.params)
         if axis_name is not None:

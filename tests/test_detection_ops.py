@@ -1,0 +1,100 @@
+"""Tests for the detection op layer: box math, fixed-shape NMS, RoIAlign."""
+import numpy as np
+import jax.numpy as jnp
+
+from meshrcnn_tpu.ops.boxes import (box_iou, clip_boxes_to_image, decode_boxes,
+                                    encode_boxes, small_box_mask)
+from meshrcnn_tpu.ops.nms import batched_nms_mask, nms_mask
+from meshrcnn_tpu.ops.roi_align import multiscale_roi_align, roi_align
+
+
+def test_box_iou_golden():
+    a = jnp.asarray([[0., 0., 10., 10.], [5., 5., 15., 15.]])
+    b = jnp.asarray([[0., 0., 10., 10.], [10., 10., 20., 20.]])
+    iou = np.asarray(box_iou(a, b))
+    assert np.isclose(iou[0, 0], 1.0)
+    assert np.isclose(iou[0, 1], 0.0)
+    assert np.isclose(iou[1, 1], 25.0 / 175.0)
+
+
+def test_encode_decode_roundtrip():
+    rng = np.random.RandomState(0)
+    props = rng.rand(16, 4).astype(np.float32) * 50
+    props[:, 2:] = props[:, :2] + 5 + props[:, 2:] * 0.5
+    gts = props + rng.randn(16, 4).astype(np.float32)
+    deltas = encode_boxes(jnp.asarray(gts), jnp.asarray(props))
+    back = np.asarray(decode_boxes(deltas, jnp.asarray(props)))
+    assert np.allclose(back, gts, atol=1e-3)
+
+
+def test_clip_and_small_mask():
+    boxes = jnp.asarray([[-5., -5., 20., 20.], [1., 1., 1.001, 8.]])
+    clipped = np.asarray(clip_boxes_to_image(boxes, (10, 12)))
+    assert (clipped[0] == [0, 0, 12, 10]).all()
+    mask = np.asarray(small_box_mask(boxes, 1e-2))
+    assert mask.tolist() == [True, False]
+
+
+def test_nms_basic():
+    boxes = jnp.asarray([[0., 0., 10., 10.],
+                         [1., 1., 11., 11.],     # overlaps box 0
+                         [20., 20., 30., 30.]])
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    valid = jnp.ones((3,), bool)
+    order, keep = nms_mask(boxes, scores, valid, 0.5, max_keep=3)
+    order = np.asarray(order)
+    keep = np.asarray(keep)
+    assert keep.tolist() == [True, True, False]
+    assert order[0] == 0 and order[1] == 2
+
+
+def test_nms_respects_valid_mask():
+    boxes = jnp.asarray([[0., 0., 10., 10.], [20., 20., 30., 30.]])
+    scores = jnp.asarray([0.5, 0.9])
+    valid = jnp.asarray([True, False])
+    order, keep = nms_mask(boxes, scores, valid, 0.5, max_keep=2)
+    assert np.asarray(keep).tolist() == [True, False]
+    assert int(order[0]) == 0
+
+
+def test_batched_nms_class_aware():
+    # identical boxes in different classes must both survive
+    boxes = jnp.asarray([[0., 0., 10., 10.], [0., 0., 10., 10.]])
+    scores = jnp.asarray([0.9, 0.8])
+    labels = jnp.asarray([1, 2])
+    valid = jnp.ones((2,), bool)
+    _, keep = batched_nms_mask(boxes, scores, labels, valid, 0.5, max_keep=2)
+    assert np.asarray(keep).sum() == 2
+
+
+def test_roi_align_constant_map():
+    fmap = jnp.full((1, 16, 16, 8), 2.5)
+    boxes = jnp.asarray([[[2., 2., 10., 10.], [0., 0., 16., 16.]]])
+    out = np.asarray(roi_align(fmap, boxes, 1.0, output_size=7, sampling_ratio=2))
+    assert out.shape == (1, 2, 7, 7, 8)
+    assert np.allclose(out, 2.5, atol=1e-5)
+
+
+def test_roi_align_gradient_map():
+    # feature = x coordinate; pooling a box gives its bin centers' x values
+    H = W = 16
+    xs = np.tile(np.arange(W, dtype=np.float32), (H, 1))
+    fmap = jnp.asarray(xs[None, :, :, None])
+    boxes = jnp.asarray([[[4., 4., 12., 12.]]])
+    out = np.asarray(roi_align(fmap, boxes, 1.0, output_size=4, sampling_ratio=1))[0, 0, :, :, 0]
+    # bins of width 2: centers at 5, 7, 9, 11
+    assert np.allclose(out[0], [5., 7., 9., 11.], atol=1e-4)
+
+
+def test_multiscale_roi_align_levels():
+    # two levels; small box -> fine level, huge box -> coarse level
+    B, C = 1, 4
+    f0 = jnp.full((B, 56, 56, C), 1.0)   # stride 4
+    f1 = jnp.full((B, 28, 28, C), 2.0)   # stride 8
+    boxes = jnp.asarray([[[0., 0., 30., 30.],      # sqrt(area)=30 -> level 0
+                          [0., 0., 200., 200.]]])  # sqrt(area)=200 -> level 1
+    out = np.asarray(multiscale_roi_align([f0, f1], boxes, (224, 224),
+                                          output_size=7, sampling_ratio=2))
+    assert out.shape == (1, 2, 7, 7, C)
+    assert np.allclose(out[0, 0], 1.0)
+    assert np.allclose(out[0, 1], 2.0)
