@@ -28,6 +28,7 @@ parser.add_argument("--show", default=False, action="store_true",
 parser.add_argument("--vert_capacity", type=int, default=8192)
 parser.add_argument("--face_capacity", type=int, default=16384)
 parser.add_argument("--edge_capacity", type=int, default=32768)
+parser.add_argument("--img_size", type=int, default=224, help="Pix3D input size")
 
 
 def main():
@@ -41,22 +42,32 @@ def main():
     from meshrcnn_tpu.utils.checkpoint import load_state
     from meshrcnn_tpu.data.serialization import save_mesh, save_voxels
 
-    if options.model == "Pix3D":
-        raise SystemExit("Pix3D demo wiring lands with the detection stack")
-
+    is_pix3d = options.model == "Pix3D"
     img = PIL.Image.open(options.imagePath).convert("RGB")
+    if is_pix3d:
+        img = img.resize((options.img_size, options.img_size), PIL.Image.BILINEAR)
     arr = np.asarray(img, dtype=np.float32)
     if arr.max() > 1.0:
         arr = arr / 255.0
     images = arr[None]  # [1, H, W, 3]
 
-    model = ShapeNetModel(num_classes=13, residual=options.residual,
-                          cubify_threshold=options.threshold,
-                          vertex_feature_dim=options.featDim,
-                          num_refinement_stages=options.num_refinement_stages,
-                          vert_capacity=options.vert_capacity,
-                          face_capacity=options.face_capacity,
-                          edge_capacity=options.edge_capacity)
+    if is_pix3d:
+        from meshrcnn_tpu.models.pix3d import Pix3DModel
+        model = Pix3DModel(num_classes=10,
+                           cubify_threshold=options.threshold,
+                           vertex_feature_dim=options.featDim,
+                           num_refinement_stages=options.num_refinement_stages,
+                           vert_capacity=options.vert_capacity,
+                           face_capacity=options.face_capacity,
+                           edge_capacity=options.edge_capacity)
+    else:
+        model = ShapeNetModel(num_classes=13, residual=options.residual,
+                              cubify_threshold=options.threshold,
+                              vertex_feature_dim=options.featDim,
+                              num_refinement_stages=options.num_refinement_stages,
+                              vert_capacity=options.vert_capacity,
+                              face_capacity=options.face_capacity,
+                              edge_capacity=options.edge_capacity)
     state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0), images)
     if options.modelPath:
         state = load_state(options.modelPath, state)
@@ -68,8 +79,12 @@ def main():
                         os.path.splitext(os.path.basename(options.imagePath))[0])
 
     voxels = np.asarray(out.voxels)
+    # pix3d: one object per valid detection slot; shapenet: one per image
+    obj_valid = (np.asarray(out.mesh_valid) if hasattr(out, "mesh_valid")
+                 else np.ones((voxels.shape[0],), bool))
     for i in range(voxels.shape[0]):
-        save_voxels(voxels[i], f"{name}_voxel_obj{i}", threshold=options.threshold)
+        if obj_valid[i]:
+            save_voxels(voxels[i], f"{name}_voxel_obj{i}", threshold=options.threshold)
 
     mesh = out.mesh
     vmask = np.asarray(mesh.verts_mask)
@@ -78,8 +93,9 @@ def main():
         v = np.asarray(verts)
         faces = np.asarray(mesh.faces)
         for i in range(v.shape[0]):
-            save_mesh(v[i][vmask[i]], faces[i][fmask[i]],
-                      f"{name}_mesh_stage{s}_obj_{i}")
+            if obj_valid[i]:
+                save_mesh(v[i][vmask[i]], faces[i][fmask[i]],
+                          f"{name}_mesh_stage{s}_obj_{i}")
     print(f"saved artifacts under {options.savePath}")
 
     if options.show:

@@ -32,6 +32,9 @@ parser.add_argument("--vert_capacity", type=int, default=8192)
 parser.add_argument("--face_capacity", type=int, default=16384)
 parser.add_argument("--edge_capacity", type=int, default=32768)
 parser.add_argument("--point_cloud_size", type=int, default=10000)
+parser.add_argument("--img_size", type=int, default=224,
+                    help="fixed Pix3D input size")
+parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
 
 
 def main():
@@ -41,16 +44,12 @@ def main():
     from meshrcnn_tpu.core.config import CapacityConfig, TrainConfig
     from meshrcnn_tpu.data.datasets import (SyntheticDataset, dataLoader,
                                             pix3dDataset, shapeNet_Dataset)
-    from meshrcnn_tpu.harness import validate
-    from meshrcnn_tpu.models.shapenet import ShapeNetModel
+    from meshrcnn_tpu.harness import validate, validate_pix3d
     from meshrcnn_tpu.parallel.train_step import create_train_state, make_eval_step
     from meshrcnn_tpu.utils.checkpoint import load_state
     from meshrcnn_tpu.utils.meters import safe_print
 
     is_pix3d = options.model == "Pix3D"
-    if is_pix3d:
-        raise SystemExit("Pix3D evaluation wiring lands with the detection stack")
-
     classes = options.classes.split(",") if options.classes else None
     capacities = CapacityConfig(verts=options.vert_capacity,
                                 faces=options.face_capacity,
@@ -58,22 +57,41 @@ def main():
     config = TrainConfig(point_cloud_size=options.point_cloud_size,
                          batch_size=options.batchSize)
     num_voxels = 24 if is_pix3d else 48
+    num_classes = 10 if is_pix3d else 13
 
     if options.dataRoot == "synthetic":
-        dataset = SyntheticDataset(n=64, image_size=137, num_voxels=32)
+        dataset = SyntheticDataset(n=64,
+                                   image_size=options.img_size if is_pix3d else 137,
+                                   num_voxels=32, num_classes=num_classes,
+                                   pix3d=is_pix3d)
+    elif is_pix3d:
+        dataset = pix3dDataset(options.dataRoot, classes)
     else:
         dataset = shapeNet_Dataset(options.dataRoot, classes)
     # reference eval: test=True split with 1 - test_ratio train fraction
     loader = dataLoader(dataset, options.batchSize, num_voxels, capacities,
-                        test=True, train_ratio=max(1e-9, 1.0 - options.test_ratio))
+                        test=True, train_ratio=max(1e-9, 1.0 - options.test_ratio),
+                        image_size=options.img_size if is_pix3d else None)
 
-    model = ShapeNetModel(num_classes=13, residual=options.residual,
-                          cubify_threshold=options.threshold,
-                          vertex_feature_dim=options.featDim,
-                          num_refinement_stages=options.num_refinement_stages,
-                          vert_capacity=capacities.verts,
-                          face_capacity=capacities.faces,
-                          edge_capacity=capacities.edges)
+    if is_pix3d:
+        from meshrcnn_tpu.models.pix3d import Pix3DModel
+        model = Pix3DModel(num_classes=10,
+                           cubify_threshold=options.threshold,
+                           vertex_feature_dim=options.featDim,
+                           num_refinement_stages=options.num_refinement_stages,
+                           vert_capacity=capacities.verts,
+                           face_capacity=capacities.faces,
+                           edge_capacity=capacities.edges,
+                           rpn_post_nms_top_n=options.rpn_post_nms_top_n)
+    else:
+        from meshrcnn_tpu.models.shapenet import ShapeNetModel
+        model = ShapeNetModel(num_classes=13, residual=options.residual,
+                              cubify_threshold=options.threshold,
+                              vertex_feature_dim=options.featDim,
+                              num_refinement_stages=options.num_refinement_stages,
+                              vert_capacity=capacities.verts,
+                              face_capacity=capacities.faces,
+                              edge_capacity=capacities.edges)
     sample_batch = next(iter(loader))
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, config, rng, np.asarray(sample_batch.images))
@@ -82,7 +100,9 @@ def main():
         safe_print(f"loaded checkpoint {options.model_path}")
 
     eval_step = make_eval_step(model)
-    results = validate(0, eval_step, state, loader, config, num_classes=13, rng=rng)
+    validate_fn = validate_pix3d if is_pix3d else validate
+    results = validate_fn(0, eval_step, state, loader, config,
+                          num_classes=num_classes, rng=rng)
     safe_print({k: v for k, v in results.items() if k != "confusion"})
 
     os.makedirs(options.output_path, exist_ok=True)

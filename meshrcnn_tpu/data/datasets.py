@@ -109,15 +109,21 @@ class pix3dDataset:
 
 
 class SyntheticDataset:
-    """Deterministic random dataset with cuboid meshes, for tests and benches."""
+    """Deterministic random dataset with cuboid meshes, for tests and benches.
+
+    With ``pix3d=True`` each sample also carries a GT box and instance mask (a
+    bright square painted into the image) and 1-based labels, matching the Pix3D
+    target surface.
+    """
 
     def __init__(self, n: int = 64, image_size: int = 137, num_voxels: int = 32,
-                 num_classes: int = 13, seed: int = 0):
+                 num_classes: int = 13, seed: int = 0, pix3d: bool = False):
         self.n = n
         self.image_size = image_size
         self.num_voxels = num_voxels
         self.num_classes = num_classes
         self.seed = seed
+        self.pix3d = pix3d
 
     def __len__(self) -> int:
         return self.n
@@ -126,7 +132,7 @@ class SyntheticDataset:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         H = self.image_size
         V = self.num_voxels
-        image = rng.rand(H, H, 3).astype(np.float32)
+        image = rng.rand(H, H, 3).astype(np.float32) * 0.3
         voxels = np.zeros((V, V, V), dtype=np.float32)
         a, b = sorted(rng.randint(2, V - 2, 2).tolist())
         b = max(b, a + 2)
@@ -140,18 +146,56 @@ class SyntheticDataset:
                           [0, 4, 1], [1, 4, 5], [2, 3, 6], [3, 7, 6],
                           [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]],
                          dtype=np.int64)
+        if not self.pix3d:
+            return Sample(image=image, voxels=voxels, mesh=Mesh(verts, faces),
+                          label=int(rng.randint(0, self.num_classes)))
+        # paint a bright object square; its bbox + mask are the targets
+        x1, y1 = rng.randint(4, H // 2, 2).tolist()
+        w, h = rng.randint(H // 4, H // 2, 2).tolist()
+        x2, y2 = min(x1 + w, H - 2), min(y1 + h, H - 2)
+        image[y1:y2, x1:x2] = rng.rand(3).astype(np.float32) * 0.5 + 0.5
+        mask = np.zeros((H, H), dtype=np.float32)
+        mask[y1:y2, x1:x2] = 1.0
+        boxes = np.asarray([[x1, y1, x2, y2]], dtype=np.float32)
+        label = int(rng.randint(1, max(self.num_classes, 2)))  # 1-based fg class
         return Sample(image=image, voxels=voxels, mesh=Mesh(verts, faces),
-                      label=int(rng.randint(0, self.num_classes)))
+                      label=label, boxes=boxes, mask=mask)
+
+
+def _resize_sample(s: Sample, size: int) -> Sample:
+    """Resize image (+ box/mask) to a fixed size x size — the TPU-static stand-in
+    for torchvision's dynamic GeneralizedRCNNTransform."""
+    import PIL.Image
+    h, w = s.image.shape[:2]
+    if h == size and w == size:
+        return s
+    img = PIL.Image.fromarray((np.clip(s.image, 0, 1) * 255).astype(np.uint8))
+    image = np.asarray(img.resize((size, size), PIL.Image.BILINEAR),
+                       dtype=np.float32) / 255.0
+    boxes = s.boxes
+    if boxes is not None:
+        sx, sy = size / w, size / h
+        boxes = boxes * np.asarray([sx, sy, sx, sy], dtype=np.float32)
+    mask = s.mask
+    if mask is not None:
+        m = PIL.Image.fromarray((np.asarray(mask) > 0.5).astype(np.uint8) * 255)
+        mask = (np.asarray(m.resize((size, size), PIL.Image.NEAREST)) > 127
+                ).astype(np.float32)
+    return Sample(image=image, voxels=s.voxels, mesh=s.mesh, label=s.label,
+                  boxes=boxes, mask=mask)
 
 
 def collate(samples: Sequence[Sample], num_voxels: int,
-            capacities: CapacityConfig) -> Batch:
+            capacities: CapacityConfig, image_size: Optional[int] = None) -> Batch:
     """Pad + stack samples into one fixed-shape Batch.
 
     Replaces the reference collate fns (dataloader.py:200-209, 283-294): voxels are
     resampled to num_voxels^3 (Batch.__init__, dataloader.py:13-19); ragged meshes
-    are padded to (gt_verts, gt_faces) capacities with masks.
+    are padded to (gt_verts, gt_faces) capacities with masks; variable-size images
+    (pix3d) are resized to ``image_size`` with box/mask rescaling.
     """
+    if image_size is not None:
+        samples = [_resize_sample(s, image_size) for s in samples]
     images = np.stack([s.image for s in samples]).astype(np.float32)
     voxels = np.stack([np.asarray(s.voxels, dtype=np.float32) for s in samples])
     if voxels.shape[1:] != (num_voxels,) * 3:
@@ -186,7 +230,8 @@ class DataLoader:
                  capacities: CapacityConfig, test: bool = False,
                  num_train_samples: Optional[int] = None,
                  train_ratio: Optional[float] = None,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 image_size: Optional[int] = None):
         assert (train_ratio is None) or (num_train_samples is None), \
             "at most one of train_ratio and num_train_samples can be set"
         indices = list(range(len(dataset)))
@@ -205,6 +250,7 @@ class DataLoader:
         self.capacities = capacities
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
+        self.image_size = image_size
 
     def __len__(self) -> int:
         if self.drop_last:
@@ -219,14 +265,16 @@ class DataLoader:
             if len(chunk) < self.batch_size and self.drop_last:
                 return
             yield collate([self.dataset[j] for j in chunk],
-                          self.num_voxels, self.capacities)
+                          self.num_voxels, self.capacities, self.image_size)
 
 
 def dataLoader(dataset, batch_size: int, num_voxels: int,
                capacities: Optional[CapacityConfig] = None, test: bool = False,
                num_train_samples: Optional[int] = None,
-               train_ratio: Optional[float] = None) -> DataLoader:
+               train_ratio: Optional[float] = None,
+               image_size: Optional[int] = None) -> DataLoader:
     """Reference-named factory (dataloader.py:297)."""
     return DataLoader(dataset, batch_size, num_voxels,
                       capacities or CapacityConfig(), test=test,
-                      num_train_samples=num_train_samples, train_ratio=train_ratio)
+                      num_train_samples=num_train_samples, train_ratio=train_ratio,
+                      image_size=image_size)

@@ -147,3 +147,108 @@ def validate(epoch: int, eval_step: Callable, state, loader,
         results[f"F1@{tau}"] = f1_sums[tau] / max(f1_count, 1)
     results["confusion"] = confusion
     return results
+
+
+def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
+                   config: TrainConfig, num_classes: int, rng: jax.Array,
+                   voxel_only: bool = False, f1_taus=(0.1, 0.3),
+                   print_freq: int = 10) -> dict:
+    """Pix3D dataset evaluation (reference: eval_utils.py:93-194, pix3d branch).
+
+    Per image the best-IoU detection vs the GT box is selected (get_max_box /
+    get_only_max, eval_utils.py:10-90); its box/mask/mesh drive AP_box, AP_mask,
+    the voxel+mesh losses, the classification confusion matrix and AP_mesh
+    (mesh_precision_recall over per-class confusion f-scores at beta 0.3).
+    """
+    from meshrcnn_tpu.utils.metrics import (calc_precision_box, calc_precision_mask,
+                                            mesh_precision_recall, paste_mask_in_image)
+
+    meters = gcn_metrics(voxel_only)
+    for k in ("AP_box", "AP_mask"):
+        meters[k] = AverageMeter(k, ":.4f")
+    confusion = np.zeros((num_classes, num_classes), dtype=np.int64)
+    f1_sums = {t: 0.0 for t in f1_taus}
+    f1_count = 0
+    end = time.time()
+    for i, batch in enumerate(loader):
+        meters["data_loading"].update(time.time() - end)
+        images = jnp.asarray(batch.images)
+        B, H, W = images.shape[0], images.shape[1], images.shape[2]
+        out = eval_step(state, images)
+        key = jax.random.fold_in(rng, i)
+        D = out.detections.boxes.shape[1]
+
+        det_boxes = np.asarray(out.detections.boxes)
+        det_labels = np.asarray(out.detections.labels)
+        det_valid = np.asarray(out.detections.valid)
+        mask_probs = np.asarray(out.mask_probs)
+        gt_boxes = np.asarray(batch.boxes).reshape(B, 4)
+        gt_masks = np.asarray(batch.masks)
+        gt_labels = np.asarray(batch.labels)
+
+        # best-IoU detection per image (eval_utils.py:10-13)
+        from meshrcnn_tpu.utils.metrics import box_iou as np_box_iou
+        best_idx = np.zeros((B,), dtype=np.int64)
+        for b in range(B):
+            ious = np_box_iou(det_boxes[b], gt_boxes[b][None])[:, 0]
+            ious = np.where(det_valid[b], ious, -1.0)
+            best_idx[b] = int(np.argmax(ious))
+
+        best_boxes = det_boxes[np.arange(B), best_idx]
+        best_labels = det_labels[np.arange(B), best_idx]
+        pasted = [paste_mask_in_image(mask_probs[b, best_idx[b]], best_boxes[b], H, W)
+                  for b in range(B)]
+        meters["AP_box"].update(calc_precision_box(best_boxes, gt_boxes))
+        meters["AP_mask"].update(calc_precision_mask(pasted, gt_masks))
+
+        # get_only_max analog: pick the best detection's mesh slot per image
+        slot = np.arange(B) * D + best_idx
+        voxels = jnp.asarray(np.asarray(out.voxels)[slot])
+        meters["voxel_loss"].update(float(_voxel_loss_j(voxels,
+                                                        jnp.asarray(batch.voxels))))
+
+        for p, t in zip(best_labels, gt_labels):
+            confusion[int(t), int(p)] += 1
+
+        if not voxel_only:
+            sel = jnp.asarray(slot)
+            mesh = jax.tree_util.tree_map(lambda x: x[sel], out.mesh)
+            stage_verts = [jnp.asarray(np.asarray(v)[slot]) for v in out.stage_verts]
+            chamfer, normal, edge = _mesh_eval_losses(
+                key, stage_verts[1:], mesh,
+                jnp.asarray(batch.gt_verts), jnp.asarray(batch.gt_faces),
+                jnp.asarray(batch.gt_faces_mask),
+                point_cloud_size=config.point_cloud_size,
+                num_neighbours=config.normal_k, tile=config.distance_tile)
+            meters["chamfer_loss"].update(float(chamfer))
+            meters["normal_loss"].update(float(normal))
+            meters["edge_loss"].update(float(edge))
+
+            d_p, d_g, valid = _f1_distances(
+                jax.random.fold_in(key, 7), stage_verts[-1], mesh.faces,
+                mesh.faces_mask, jnp.asarray(batch.gt_verts),
+                jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+                config.point_cloud_size, config.distance_tile)
+            d_p, d_g, valid = np.asarray(d_p), np.asarray(d_g), np.asarray(valid)
+            for b in range(B):
+                if valid[b]:
+                    for tau in f1_taus:
+                        thr = tau * tau
+                        prec = float((d_p[b] < thr).mean())
+                        rec = float((d_g[b] < thr).mean())
+                        f1_sums[tau] += 2 * prec * rec / max(prec + rec, 1e-12)
+                    f1_count += 1
+
+        meters["batch_time"].update(time.time() - end)
+        end = time.time()
+        if i % print_freq == 0:
+            safe_print(f"pix3d eval [{i}/{len(loader)}] AP_box {meters['AP_box'].avg:.3f}")
+
+    results = {k: m.avg for k, m in meters.items()}
+    for beta, name in ((0.1, "f0_1"), (0.3, "f0_3"), (0.5, "f0_5")):
+        results[name] = float(np.nanmean(f_score(confusion, beta=beta)))
+    results["AP_mesh"] = mesh_precision_recall(confusion, f_score(confusion, 0.3))
+    for tau in f1_taus:
+        results[f"F1@{tau}"] = f1_sums[tau] / max(f1_count, 1)
+    results["confusion"] = confusion
+    return results

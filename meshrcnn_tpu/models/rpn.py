@@ -86,8 +86,12 @@ def select_proposals(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray
         boxes = clip_boxes_to_image(boxes, image_size)
         valid = small_box_mask(boxes, min_size)
 
+        # selection slots: we never keep more than post_nms_top_n proposals per
+        # level, so the sequential greedy loop only needs that many iterations.
+        m_keep = min(k, post_nms_top_n)
+
         def lvl_nms(bx, sc, vd):
-            order, keep = nms_mask(bx, sc, vd, nms_thresh, max_keep=k)
+            order, keep = nms_mask(bx, sc, vd, nms_thresh, max_keep=m_keep)
             safe = jnp.where(order >= 0, order, 0)
             return bx[safe], jnp.where(keep, sc[safe], -jnp.inf), keep
 

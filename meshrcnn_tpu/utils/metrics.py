@@ -42,6 +42,23 @@ def point_cloud_f1(pred_points, gt_points, tau: float = 0.1):
     return f1, precision, recall
 
 
+def paste_mask_in_image(mask: np.ndarray, box, height: int, width: int,
+                        threshold: float = 0.5) -> np.ndarray:
+    """Paste a KxK RoI mask (probabilities) into a full-size binary image mask
+    (torchvision paste_masks_in_image semantics, used by the reference's transform
+    postprocess before AP_mask)."""
+    from PIL import Image
+    x1, y1, x2, y2 = [int(round(float(v))) for v in np.asarray(box).reshape(4)]
+    x1, y1 = max(x1, 0), max(y1, 0)
+    x2, y2 = min(max(x2, x1 + 1), width), min(max(y2, y1 + 1), height)
+    w, h = x2 - x1, y2 - y1
+    resized = np.asarray(Image.fromarray(np.asarray(mask, dtype=np.float32))
+                         .resize((w, h), Image.BILINEAR))
+    out = np.zeros((height, width), dtype=np.int32)
+    out[y1:y2, x1:x2] = (resized > threshold).astype(np.int32)
+    return out
+
+
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU of xyxy boxes a [N,4] x b [M,4] (pure numpy)."""
     a = np.asarray(a, dtype=np.float64)
@@ -57,13 +74,17 @@ def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def calc_precision_box(pred_boxes, gt_boxes, iou_thresh: float = 0.5) -> float:
-    """Fraction of predicted boxes with IoU > thresh vs any GT box
-    (reference: metrics.py:31-40)."""
-    pred_boxes = np.asarray(pred_boxes)
+    """Fraction of (gt, best-pred) pairs with IoU > thresh (reference:
+    metrics.py:31-38 — one matched prediction per sample)."""
+    pred_boxes = np.asarray(pred_boxes).reshape(-1, 4)
+    gt_boxes = np.asarray(gt_boxes).reshape(-1, 4)
     if pred_boxes.size == 0:
         return 0.0
-    ious = box_iou(pred_boxes, np.asarray(gt_boxes))
-    return float((ious.max(axis=1) > iou_thresh).mean())
+    count = 0
+    for gt, pred in zip(gt_boxes, pred_boxes):
+        if box_iou(gt[None], pred[None])[0, 0] > iou_thresh:
+            count += 1
+    return count / len(pred_boxes)
 
 
 def calc_precision_mask(pred_masks, gt_masks, iou_thresh: float = 0.5) -> float:
@@ -80,19 +101,20 @@ def calc_precision_mask(pred_masks, gt_masks, iou_thresh: float = 0.5) -> float:
     return hits / max(len(pred_masks), 1)
 
 
-def mesh_precision_recall(precisions, recalls, f1s, f1_thresh: float = 0.5) -> float:
-    """AUC of precision/recall with TPs zeroed where f1 <= thresh
-    (reference: metrics.py:56-62, sklearn.metrics.auc)."""
+def mesh_precision_recall(confusion, f1_scores, f1_thresh: float = 0.5) -> float:
+    """AUC of per-class precision vs recall with TPs zeroed where the (confusion-
+    based) f1 score <= thresh (reference: metrics.py:56-62, sklearn auc; the
+    recall axis is sorted here — sklearn requires monotonic x, which the reference
+    left to chance)."""
     from sklearn.metrics import auc
-    p = np.asarray(precisions, dtype=np.float64)
-    r = np.asarray(recalls, dtype=np.float64)
-    f = np.asarray(f1s, dtype=np.float64)
-    keep = f > f1_thresh
-    p = np.where(keep, p, 0.0)
-    r = np.where(keep, r, 0.0)
-    order = np.argsort(r)
-    r_sorted = r[order]
-    p_sorted = p[order]
-    if len(r_sorted) < 2 or r_sorted[0] == r_sorted[-1]:
-        return float(p_sorted.mean() * (r_sorted.max() if len(r_sorted) else 0.0))
-    return float(auc(r_sorted, p_sorted))
+    cm = np.asarray(confusion, dtype=np.float64)
+    tp = np.diag(cm).copy()
+    f = np.asarray(f1_scores, dtype=np.float64)
+    tp[f <= f1_thresh] = 0.0
+    precision = 100.0 * tp / (1e-8 + cm.sum(axis=1))
+    recall = 100.0 * tp / (1e-8 + cm.sum(axis=0))
+    order = np.argsort(recall)
+    r, p = recall[order], precision[order]
+    if len(r) < 2 or r[0] == r[-1]:
+        return float(p.mean())
+    return float(auc(r, p))

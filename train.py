@@ -62,6 +62,12 @@ parser.add_argument("--checkpoint_root", type=str, default="checkpoints")
 parser.add_argument("--num_devices", type=int, default=None,
                     help="dp mesh size (default: all local devices)")
 parser.add_argument("--print_freq", type=int, default=10)
+parser.add_argument("--img_size", type=int, default=224,
+                    help="fixed Pix3D input size (TPU-static stand-in for the "
+                         "reference's dynamic min-800 resize)")
+parser.add_argument("--rpn_pre_nms_top_n", type=int, default=1000)
+parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
+parser.add_argument("--roi_batch_size", type=int, default=512)
 
 
 def main():
@@ -103,7 +109,10 @@ def main():
     num_voxels = 24 if is_pix3d else 48
     if options.dataRoot == "synthetic":
         dataset = SyntheticDataset(n=max(options.num_sampels or 64, options.batchSize),
-                                   image_size=137, num_voxels=32)
+                                   image_size=137 if not is_pix3d else options.img_size,
+                                   num_voxels=32,
+                                   num_classes=10 if is_pix3d else 13,
+                                   pix3d=is_pix3d)
     elif is_pix3d:
         dataset = pix3dDataset(options.dataRoot, classes)
     else:
@@ -111,20 +120,32 @@ def main():
 
     loader = dataLoader(dataset, options.batchSize, num_voxels, capacities,
                         num_train_samples=options.num_sampels,
-                        train_ratio=options.train_ratio)
+                        train_ratio=options.train_ratio,
+                        image_size=options.img_size if is_pix3d else None)
 
     if is_pix3d:
-        raise SystemExit("Pix3D training wiring lands with the detection stack; "
-                         "use --model ShapeNet")
-    from meshrcnn_tpu.models.shapenet import ShapeNetModel
-    model = ShapeNetModel(num_classes=13, residual=options.residual,
-                          cubify_threshold=options.threshold,
-                          vertex_feature_dim=options.featDim,
-                          num_refinement_stages=options.num_refinement_stages,
-                          voxel_only=options.voxel_only,
-                          vert_capacity=capacities.verts,
-                          face_capacity=capacities.faces,
-                          edge_capacity=capacities.edges)
+        from meshrcnn_tpu.models.pix3d import Pix3DModel
+        model = Pix3DModel(num_classes=10,
+                           cubify_threshold=options.threshold,
+                           vertex_feature_dim=options.featDim,
+                           num_refinement_stages=options.num_refinement_stages,
+                           voxel_only=options.voxel_only,
+                           vert_capacity=capacities.verts,
+                           face_capacity=capacities.faces,
+                           edge_capacity=capacities.edges,
+                           rpn_pre_nms_top_n=options.rpn_pre_nms_top_n,
+                           rpn_post_nms_top_n=options.rpn_post_nms_top_n,
+                           roi_batch_size=options.roi_batch_size)
+    else:
+        from meshrcnn_tpu.models.shapenet import ShapeNetModel
+        model = ShapeNetModel(num_classes=13, residual=options.residual,
+                              cubify_threshold=options.threshold,
+                              vertex_feature_dim=options.featDim,
+                              num_refinement_stages=options.num_refinement_stages,
+                              voxel_only=options.voxel_only,
+                              vert_capacity=capacities.verts,
+                              face_capacity=capacities.faces,
+                              edge_capacity=capacities.edges)
 
     sample_batch = next(iter(loader))
     rng = jax.random.PRNGKey(config.seed)
