@@ -19,6 +19,9 @@ BASELINE_SAMPLES_PER_SEC = 1.84  # BASELINE.md ShapeNet throughput
 
 def main():
     import jax
+
+    from meshrcnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from meshrcnn_tpu.core.batch import Batch
@@ -50,18 +53,29 @@ def main():
         labels=jnp.asarray(rng.randint(0, 13, (B,)).astype(np.int32)))
 
     state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
-    step = jax.jit(make_train_step(model, config))
+    step = make_train_step(model, config)
+
+    n_steps = 20
+
+    # run all steps inside one lax.scan so a single dispatch covers the whole
+    # measurement — the tunneled device adds ~100ms of host round-trip latency per
+    # dispatch, which would otherwise dominate and measure the network, not the TPU
+    @jax.jit
+    def run_steps(state, key):
+        def body(s, k):
+            s2, metrics = step(s, batch, k)
+            return s2, metrics["loss"]
+        keys = jax.random.split(key, n_steps)
+        return jax.lax.scan(body, state, keys)
 
     key = jax.random.PRNGKey(1)
     # warmup / compile
-    state, metrics = step(state, batch, key)
-    jax.block_until_ready(metrics)
+    s1, losses = run_steps(state, key)
+    jax.block_until_ready(losses)
 
-    n_steps = 10
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics)
+    s2, losses = run_steps(s1, jax.random.fold_in(key, 1))
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
 
     samples_per_sec = B * n_steps / dt

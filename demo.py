@@ -34,6 +34,9 @@ parser.add_argument("--img_size", type=int, default=224, help="Pix3D input size"
 def main():
     options = parser.parse_args()
     import jax
+
+    from meshrcnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import PIL.Image
 
     from meshrcnn_tpu.core.config import TrainConfig

@@ -41,6 +41,9 @@ def main():
     options = parser.parse_args()
     import jax
 
+    from meshrcnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from meshrcnn_tpu.core.config import CapacityConfig, TrainConfig
     from meshrcnn_tpu.data.datasets import (SyntheticDataset, dataLoader,
                                             pix3dDataset, shapeNet_Dataset)

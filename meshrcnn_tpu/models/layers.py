@@ -33,14 +33,13 @@ class GraphConv(nn.Module):
     out_features: int
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, edges: jnp.ndarray,
-                 edges_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, topo) -> jnp.ndarray:
         in_features = feats.shape[-1]
         w0 = self.param("w0", _fan_in_uniform, (in_features, self.out_features))
         w1 = self.param("w1", _fan_in_uniform, (in_features, self.out_features))
         own = jnp.einsum("bvc,co->bvo", feats, w0)
         prop = jnp.einsum("bvc,co->bvo", feats, w1)
-        neigh = aggregate_neighbours(prop, edges, edges_mask)
+        neigh = aggregate_neighbours(prop, topo)
         return nn.relu(own + neigh)
 
 
@@ -51,15 +50,14 @@ class ResGraphConv(nn.Module):
     out_features: int
 
     @nn.compact
-    def __call__(self, feats: jnp.ndarray, edges: jnp.ndarray,
-                 edges_mask: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, feats: jnp.ndarray, topo) -> jnp.ndarray:
         in_features = feats.shape[-1]
         if in_features != self.out_features:
             skip = nn.Dense(self.out_features, use_bias=False, name="projection")(feats)
         else:
             skip = feats
-        out = GraphConv(self.out_features, name="conv0")(feats, edges, edges_mask)
-        out = GraphConv(self.out_features, name="conv1")(out, edges, edges_mask)
+        out = GraphConv(self.out_features, name="conv0")(feats, topo)
+        out = GraphConv(self.out_features, name="conv1")(out, topo)
         return skip + out
 
 
@@ -76,8 +74,7 @@ class ResVertixRefineShapenet(nn.Module):
 
     @nn.compact
     def __call__(self, feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
-                 edges: jnp.ndarray, edges_mask: jnp.ndarray,
-                 image_size: tuple[int, int],
+                 topo, image_size: tuple[int, int],
                  vert_feats: Optional[jnp.ndarray] = None):
         aligned = vert_align(feature_maps, verts, image_size)
         projected = nn.Dense(self.num_features, use_bias=False, name="linear")(aligned)
@@ -88,10 +85,10 @@ class ResVertixRefineShapenet(nn.Module):
         else:
             assert not self.use_input_features
         feats = jnp.concatenate(parts, axis=-1)
-        feats = ResGraphConv(self.num_features, name="resGraphConv0")(feats, edges, edges_mask)
-        feats = ResGraphConv(self.num_features, name="resGraphConv1")(feats, edges, edges_mask)
-        feats = ResGraphConv(self.num_features, name="resGraphConv2")(feats, edges, edges_mask)
-        offset = GraphConv(self.ndims, name="graphConv")(feats, edges, edges_mask)
+        feats = ResGraphConv(self.num_features, name="resGraphConv0")(feats, topo)
+        feats = ResGraphConv(self.num_features, name="resGraphConv1")(feats, topo)
+        feats = ResGraphConv(self.num_features, name="resGraphConv2")(feats, topo)
+        offset = GraphConv(self.ndims, name="graphConv")(feats, topo)
         new_verts = verts + jnp.tanh(offset)
         return new_verts, feats
 
@@ -109,8 +106,7 @@ class VertixRefineShapeNet(nn.Module):
 
     @nn.compact
     def __call__(self, feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
-                 edges: jnp.ndarray, edges_mask: jnp.ndarray,
-                 image_size: tuple[int, int],
+                 topo, image_size: tuple[int, int],
                  vert_feats: Optional[jnp.ndarray] = None):
         aligned = vert_align(feature_maps, verts, image_size)
         projected = nn.Dense(self.num_features, use_bias=False, name="linear0")(aligned)
@@ -121,11 +117,11 @@ class VertixRefineShapeNet(nn.Module):
         else:
             assert not self.use_input_features
         feats = jnp.concatenate(parts, axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv0")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv0")(feats, topo)
         feats = jnp.concatenate([verts, feats], axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv1")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv1")(feats, topo)
         feats = jnp.concatenate([verts, feats], axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv2")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv2")(feats, topo)
         offset = nn.Dense(self.ndims, use_bias=False, name="linear1")(feats)
         new_verts = verts + jnp.tanh(offset)
         return new_verts, feats
@@ -144,8 +140,7 @@ class VertixRefinePix3D(nn.Module):
 
     @nn.compact
     def __call__(self, roi_features: jnp.ndarray, verts: jnp.ndarray,
-                 edges: jnp.ndarray, edges_mask: jnp.ndarray,
-                 image_size: tuple[int, int],
+                 topo, image_size: tuple[int, int],
                  vert_feats: Optional[jnp.ndarray] = None):
         aligned = vert_align([roi_features], verts, image_size)
         parts = [verts, aligned]
@@ -155,11 +150,11 @@ class VertixRefinePix3D(nn.Module):
         else:
             assert not self.use_input_features
         feats = jnp.concatenate(parts, axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv0")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv0")(feats, topo)
         feats = jnp.concatenate([verts, feats], axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv1")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv1")(feats, topo)
         feats = jnp.concatenate([verts, feats], axis=-1)
-        feats = GraphConv(self.num_features, name="graphConv2")(feats, edges, edges_mask)
+        feats = GraphConv(self.num_features, name="graphConv2")(feats, topo)
         pos_in = jnp.concatenate([verts, feats], axis=-1)
         offset = nn.Dense(self.ndims, use_bias=False, name="linear")(pos_in)
         new_verts = verts + jnp.tanh(offset)

@@ -33,6 +33,7 @@ from meshrcnn_tpu.models.roi_heads import Detections, RoIHeads
 from meshrcnn_tpu.models.rpn import RPNHead, generate_anchors, rpn_loss, select_proposals
 from meshrcnn_tpu.ops.boxes import box_iou
 from meshrcnn_tpu.ops.cubify import CubifyOverflow, cubify
+from meshrcnn_tpu.ops.graph_conv import precompute_adjacency
 
 
 @struct.dataclass
@@ -177,20 +178,18 @@ class Pix3DModel(nn.Module):
 
         # the refinement stages pool from this sample's RoI feature map
         roi_for_align = roi                                    # [N, p, p, C]
+        topo = precompute_adjacency(mesh.edges, mesh.edges_mask, self.vert_capacity)
         stage_verts = [mesh.verts]
         verts, feats_v = VertixRefinePix3D(use_input_features=False,
                                            num_features=self.vertex_feature_dim,
                                            name="refine0")(roi_for_align, mesh.verts,
-                                                           mesh.edges, mesh.edges_mask,
-                                                           (H, W))
+                                                           topo, (H, W))
         stage_verts.append(verts)
         for i in range(1, self.num_refinement_stages):
             verts, feats_v = VertixRefinePix3D(use_input_features=True,
                                                num_features=self.vertex_feature_dim,
                                                name=f"refine{i}")(roi_for_align, verts,
-                                                                  mesh.edges,
-                                                                  mesh.edges_mask,
-                                                                  (H, W),
+                                                                  topo, (H, W),
                                                                   vert_feats=feats_v)
             stage_verts.append(verts)
 

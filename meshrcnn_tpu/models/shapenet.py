@@ -28,6 +28,7 @@ from meshrcnn_tpu.models.layers import (ResVertixRefineShapenet, VertixRefineSha
                                         VoxelBranch)
 from meshrcnn_tpu.models.resnet import ResNet50
 from meshrcnn_tpu.ops.cubify import CubifyOverflow, cubify
+from meshrcnn_tpu.ops.graph_conv import precompute_adjacency
 from meshrcnn_tpu.utils.image import resize_bilinear_align_corners, scaled_size
 
 
@@ -81,19 +82,22 @@ class ShapeNetModel(nn.Module):
                                 face_capacity=self.face_capacity,
                                 edge_capacity=self.edge_capacity)
 
+        # sort orders + segment boundaries shared by every GraphConv this step
+        topo = precompute_adjacency(mesh.edges, mesh.edges_mask, self.vert_capacity)
+
         refine_cls = ResVertixRefineShapenet if self.residual else VertixRefineShapeNet
         stage_verts = [mesh.verts]
         verts, feats = refine_cls(use_input_features=False,
                                   num_features=self.vertex_feature_dim,
                                   name="refine0")(feature_maps, mesh.verts,
-                                                  mesh.edges, mesh.edges_mask, (H, W))
+                                                  topo, (H, W))
         stage_verts.append(verts)
         for i in range(1, self.num_refinement_stages):
             verts, feats = refine_cls(use_input_features=True,
                                       num_features=self.vertex_feature_dim,
                                       name=f"refine{i}")(feature_maps, verts,
-                                                         mesh.edges, mesh.edges_mask,
-                                                         (H, W), vert_feats=feats)
+                                                         topo, (H, W),
+                                                         vert_feats=feats)
             stage_verts.append(verts)
 
         return ShapeNetOutput(logits=logits, voxels=voxels, mesh=mesh,

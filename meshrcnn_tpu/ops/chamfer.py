@@ -62,12 +62,16 @@ def nearest_neighbor(p: jnp.ndarray, q: jnp.ndarray,
     return best_d, best_i
 
 
-def knn(p: jnp.ndarray, q: jnp.ndarray, k: int,
-        tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
+def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
+        recall_target: float = 0.99) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest neighbours in q for every point of p (squared distances).
 
-    Tiled running top-k: each scan step concatenates the carried k best with the
-    tile's distances and re-selects k. Returns (dists [N,k], idx [N,k]).
+    Per q-tile the TPU's hardware-accelerated ``lax.approx_min_k`` picks k
+    candidates (~free next to the distance matmul; an exact running lax.top_k
+    merge measured 20-30 ms vs ~0 ms here), then one small exact top-k merges the
+    tiles' candidates. Recall vs exact kNN is ~recall_target (candidates are only
+    consumed by the PCA-normal estimator, which is insensitive at this level).
+    Returns (dists [N,k], idx [N,k]).
     """
     N = p.shape[0]
     M = q.shape[0]
@@ -78,22 +82,24 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int,
     q_tiles = q_pad.reshape(num_tiles, T, 3)
 
     def body(carry, inp):
-        best_d, best_i = carry                          # [N,k], [N,k]
         t_idx, q_t = inp
         d = _dist_block(p, q_t)                         # [N,T]
         col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + t_idx * T
         d = jnp.where(col < M, d, jnp.inf)
-        cat_d = jnp.concatenate([best_d, d], axis=1)
-        cat_i = jnp.concatenate([best_i, col], axis=1)
-        neg_top, pos = jax.lax.top_k(-cat_d, k)
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return (-neg_top, new_i), None
+        if T <= max(k * 8, 128):
+            vals, pos = jax.lax.top_k(-d, min(k, T))    # tiny tiles: exact
+            vals = -vals
+        else:
+            vals, pos = jax.lax.approx_min_k(d, k, recall_target=recall_target)
+        gidx = jnp.take_along_axis(col, pos, axis=1)
+        return carry, (vals, gidx)
 
-    init = (jnp.full((N, k), jnp.inf, dtype=jnp.float32),
-            jnp.zeros((N, k), dtype=jnp.int32))
     t_ids = jax.lax.broadcasted_iota(jnp.int32, (num_tiles, 1), 0)[:, 0]
-    (best_d, best_i), _ = jax.lax.scan(body, init, (t_ids, q_tiles))
-    return best_d, best_i
+    _, (vals, idxs) = jax.lax.scan(body, 0, (t_ids, q_tiles))
+    vals = jnp.moveaxis(vals, 0, 1).reshape(N, -1)      # [N, tiles*k]
+    idxs = jnp.moveaxis(idxs, 0, 1).reshape(N, -1)
+    neg_top, pos = jax.lax.top_k(-vals, k)              # exact merge of candidates
+    return -neg_top, jnp.take_along_axis(idxs, pos, axis=1)
 
 
 def chamfer_distance(p: jnp.ndarray, q: jnp.ndarray, tile: int = 2048):
@@ -155,34 +161,58 @@ def smallest_eigenvector(S: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def compute_normals(pts: jnp.ndarray, k: int = 10, tile: int = 2048) -> jnp.ndarray:
-    """PCA surface normals of one cloud [N, 3] from its k nearest neighbours.
+def batched_compute_normals(pts: jnp.ndarray, k: int = 10,
+                            tile: int = 2048) -> jnp.ndarray:
+    """PCA surface normals of clouds [B, N, 3] from their k nearest neighbours.
 
     Follows the reference's construction (loss_functions.py:129-170): neighbourhood
     mean, scatter matrix Y^T Y, eigenvector of the smallest eigenvalue. Deviation
     (documented per SURVEY.md §6): neighbours are found *within the cloud itself*;
     the reference passes the cross-cloud distance matrix and gathers own-cloud points
     at other-cloud indices (loss_functions.py:119-122, 141-146), which mixes the two
-    clouds' index spaces — a bug we do not reproduce.
+    clouds' index spaces — a bug we do not reproduce. The neighbourhood gather is a
+    flattened global-index gather (ops/gather.py) to dodge the XLA-TPU batched-gather
+    slow path.
     """
-    _, idx = knn(pts, pts, k, tile)
-    neigh = pts[idx]                                     # [N, k, 3]
-    mean = jnp.mean(neigh, axis=1, keepdims=True)
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+
+    B, N, _ = pts.shape
+    _, idx = jax.vmap(lambda x: knn(x, x, k, tile))(pts)          # [B, N, k]
+    neigh = batched_gather_rows(pts, idx.reshape(B, N * k)).reshape(B, N, k, 3)
+    mean = jnp.mean(neigh, axis=2, keepdims=True)
     Y = neigh - mean
-    S = jnp.einsum("nkd,nke->nde", Y, Y)
+    S = jnp.einsum("bnkd,bnke->bnde", Y, Y)
     return smallest_eigenvector(S)
+
+
+def compute_normals(pts: jnp.ndarray, k: int = 10, tile: int = 2048) -> jnp.ndarray:
+    """Single-cloud PCA normals [N, 3] (see batched_compute_normals)."""
+    return batched_compute_normals(pts[None], k=k, tile=tile)[0]
+
+
+def batched_normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
+                            idx_q: jnp.ndarray, k: int = 10, tile: int = 2048
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-sided per-sample summed |cos| normal alignment for clouds [B, N, 3].
+
+    Mirrors the reference ``batched_normal_distance`` (loss_functions.py:107-126)
+    with corrected per-cloud normal estimation. Returns ([B] sum_p, [B] sum_q).
+    """
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+
+    n_p = batched_compute_normals(p, k=k, tile=tile)
+    n_q = batched_compute_normals(q, k=k, tile=tile)
+    nn_p = batched_gather_rows(n_q, idx_p)
+    nn_q = batched_gather_rows(n_p, idx_q)
+    align_p = jnp.sum(jnp.abs(jnp.sum(n_p * nn_p, axis=-1)), axis=1)
+    align_q = jnp.sum(jnp.abs(jnp.sum(n_q * nn_q, axis=-1)), axis=1)
+    return align_p, align_q
 
 
 def normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
                     idx_q: jnp.ndarray, k: int = 10,
                     tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Two-sided summed |cos| alignment between each point's normal and its NN's normal.
-
-    Mirrors the reference ``batched_normal_distance`` (loss_functions.py:107-126) with
-    corrected per-cloud normal estimation. Returns (sum_p, sum_q).
-    """
-    n_p = compute_normals(p, k=k, tile=tile)
-    n_q = compute_normals(q, k=k, tile=tile)
-    align_p = jnp.sum(jnp.abs(jnp.sum(n_p * n_q[idx_p], axis=-1)))
-    align_q = jnp.sum(jnp.abs(jnp.sum(n_q * n_p[idx_q], axis=-1)))
-    return align_p, align_q
+    """Single-pair variant of batched_normal_distance. Returns (sum_p, sum_q)."""
+    a, b = batched_normal_distance(p[None], q[None], idx_p[None], idx_q[None],
+                                   k=k, tile=tile)
+    return a[0], b[0]

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from meshrcnn_tpu.core.mesh import MeshBatch
-from meshrcnn_tpu.ops.chamfer import chamfer_distance, normal_distance
+from meshrcnn_tpu.ops.chamfer import batched_normal_distance, chamfer_distance
 from meshrcnn_tpu.ops.sampling import batched_sample_points
 
 
@@ -48,8 +48,9 @@ def edge_loss(verts: jnp.ndarray, edges: jnp.ndarray,
     normaliser is the total valid-edge count across the batch, matching its
     batch-global convention.
     """
-    v0 = jnp.take_along_axis(verts, edges[..., 0:1].astype(jnp.int32), axis=1)
-    v1 = jnp.take_along_axis(verts, edges[..., 1:2].astype(jnp.int32), axis=1)
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+    v0 = batched_gather_rows(verts, edges[..., 0])
+    v1 = batched_gather_rows(verts, edges[..., 1])
     d = v0 - v1                      # [B, E, 3]
     sq = jnp.sum(d * d, axis=-1)     # [B, E]
     m = edges_mask.astype(verts.dtype)
@@ -81,14 +82,16 @@ def mesh_loss(key: jax.Array,
         k_gt, gt_verts, gt_faces, gt_faces_mask, point_cloud_size)
     valid = (valid_p & valid_g).astype(jnp.float32)      # [B]
 
-    def per_sample(p, g):
-        s_p, idx_p, s_g, idx_g = chamfer_distance(p, g, tile)
-        a_p, a_g = normal_distance(p, g, idx_p, idx_g, k=num_neighbours, tile=tile)
-        return s_p + s_g, a_p + a_g
+    # chamfer NN pass is pure matmul + min (vmap-safe); the normal path uses the
+    # batched gather-safe implementations
+    def per_sample_nn(p, g):
+        return chamfer_distance(p, g, tile)
 
-    cham_sums, norm_sums = jax.vmap(per_sample)(cloud_p, cloud_g)
-    chamfer = jnp.sum(cham_sums * valid) / point_cloud_size
-    normal = -jnp.sum(norm_sums * valid) / point_cloud_size
+    cham_p, idx_p, cham_g, idx_g = jax.vmap(per_sample_nn)(cloud_p, cloud_g)
+    align_p, align_g = batched_normal_distance(cloud_p, cloud_g, idx_p, idx_g,
+                                               k=num_neighbours, tile=tile)
+    chamfer = jnp.sum((cham_p + cham_g) * valid) / point_cloud_size
+    normal = -jnp.sum((align_p + align_g) * valid) / point_cloud_size
     return chamfer, normal, e_loss
 
 

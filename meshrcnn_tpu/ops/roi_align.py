@@ -15,27 +15,26 @@ import jax
 import jax.numpy as jnp
 
 
-def _roi_align_single_level(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
-                            output_size: int, sampling_ratio: int) -> jnp.ndarray:
-    """RoIAlign of one image's feature map [H, W, C] for boxes [R, 4] xyxy.
+def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
+              output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
+    """Batched single-level RoIAlign: fmap [B,H,W,C], boxes [B,R,4] -> [B,R,os,os,C].
 
-    Returns [R, output_size, output_size, C].
+    Implemented batched with flattened global-index gathers (batch offset folded
+    into the index) — vmapped gathers hit the XLA-TPU slow path (ops/gather.py).
     """
-    H, W, C = fmap.shape
-    R = boxes.shape[0]
+    B, H, W, C = fmap.shape
+    R = boxes.shape[1]
     b = boxes * spatial_scale
-    x1, y1, x2, y2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
-    roi_w = jnp.maximum(x2 - x1, 1.0)
-    roi_h = jnp.maximum(y2 - y1, 1.0)
-    bin_w = roi_w / output_size           # [R]
-    bin_h = roi_h / output_size
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]   # [B, R]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1.0) / output_size
     s = max(sampling_ratio, 1)
 
     # sample grid: for bin (i,j), points at y1 + (i + (k+0.5)/s) * bin_h
     grid = (jnp.arange(output_size)[:, None] + (jnp.arange(s)[None, :] + 0.5) / s)
-    grid = grid.reshape(-1)               # [output_size * s]
-    ys = y1[:, None] + grid[None, :] * bin_h[:, None]   # [R, os*s]
-    xs = x1[:, None] + grid[None, :] * bin_w[:, None]
+    grid = grid.reshape(-1)                                       # [P = os*s]
+    ys = y1[..., None] + grid * bin_h[..., None]                  # [B, R, P]
+    xs = x1[..., None] + grid * bin_w[..., None]
 
     ys = jnp.clip(ys, 0.0, H - 1)
     xs = jnp.clip(xs, 0.0, W - 1)
@@ -48,33 +47,27 @@ def _roi_align_single_level(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale
     y1i = jnp.minimum(y0i + 1, H - 1)
     x1i = jnp.minimum(x0i + 1, W - 1)
 
-    flat = fmap.reshape(H * W, C)
+    flat = fmap.reshape(B * H * W, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (H * W))[:, None, None, None]
+    P = ys.shape[-1]
 
-    def gather(yi, xi):                   # [R, P] x [R, Q] -> [R, P, Q, C]
-        idx = yi[:, :, None] * W + xi[:, None, :]
-        return flat[idx]
+    def gather(yi, xi):                   # [B,R,P] x [B,R,P] -> [B,R,P,P,C]
+        idx = base + yi[..., :, None] * W + xi[..., None, :]
+        return flat[idx.reshape(-1)].reshape(B, R, P, P, C)
 
     f00 = gather(y0i, x0i)
     f01 = gather(y0i, x1i)
     f10 = gather(y1i, x0i)
     f11 = gather(y1i, x1i)
-    wy0 = (1.0 - fy)[:, :, None, None]
-    wy1 = fy[:, :, None, None]
-    wx0 = (1.0 - fx)[:, None, :, None]
-    wx1 = fx[:, None, :, None]
+    wy0 = (1.0 - fy)[..., :, None, None]
+    wy1 = fy[..., :, None, None]
+    wx0 = (1.0 - fx)[..., None, :, None]
+    wx1 = fx[..., None, :, None]
     vals = (f00 * wy0 * wx0 + f01 * wy0 * wx1 + f10 * wy1 * wx0 + f11 * wy1 * wx1)
-    # [R, os*s, os*s, C] -> average s x s samples per bin
-    P = output_size
-    vals = vals.reshape(R, P, s, P, s, C)
-    return vals.mean(axis=(2, 4))
-
-
-def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
-              output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
-    """Batched single-level RoIAlign: fmap [B,H,W,C], boxes [B,R,4] -> [B,R,os,os,C]."""
-    fn = lambda fm, bx: _roi_align_single_level(fm, bx, spatial_scale,
-                                                output_size, sampling_ratio)
-    return jax.vmap(fn)(fmap, boxes)
+    # [B, R, os*s, os*s, C] -> average s x s samples per bin
+    O = output_size
+    vals = vals.reshape(B, R, O, s, O, s, C)
+    return vals.mean(axis=(3, 5))
 
 
 def multiscale_roi_align(feature_maps: Sequence[jnp.ndarray], boxes: jnp.ndarray,

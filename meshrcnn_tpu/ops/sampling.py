@@ -50,28 +50,9 @@ def sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
       the cloud is then all zeros; callers zero the sample's loss, replacing the
       reference's try/except batch skip).
     """
-    k_face, k1, k2 = jax.random.split(key, 3)
-    areas = face_areas(verts, faces, faces_mask)
-    total = jnp.sum(areas)
-    valid = total > 1e-12
-    probs = areas / jnp.where(valid, total, 1.0)
-    cdf = jnp.cumsum(probs)
-    u = jax.random.uniform(k_face, (num_points,))
-    face_idx = jnp.searchsorted(cdf, u)
-    face_idx = jnp.clip(face_idx, 0, faces.shape[0] - 1)
-
-    chosen = verts[faces[face_idx]]          # [N, 3, 3]
-    xi1_sqrt = jnp.sqrt(jax.random.uniform(k1, (num_points,)))
-    xi2 = jax.random.uniform(k2, (num_points,))
-    w0 = 1.0 - xi1_sqrt
-    w1 = (1.0 - xi2) * xi1_sqrt
-    w2 = xi2 * xi1_sqrt
-    ws = jnp.stack([w0, w1, w2], axis=-1)    # [N, 3]
-    pts = jnp.einsum("nvd,nv->nd", chosen, ws)
-    if normalize:
-        pts = normalize_verts(pts)
-    pts = jnp.where(valid, pts, 0.0)
-    return pts, valid
+    pts, valid = batched_sample_points(key, verts[None], faces[None],
+                                       faces_mask[None], num_points, normalize)
+    return pts[0], valid[0]
 
 
 def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
@@ -80,8 +61,39 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     """Batched sampling: verts [B,V,3], faces [B,F,3], faces_mask [B,F].
 
     Replaces the reference's per-sample Python loop ``batched_mesh_sampling``
-    (loss_functions.py:80-89) with a vmap. Returns ([B, N, 3], [B] valid).
+    (loss_functions.py:80-89). Implemented batched with flattened global-index
+    gathers rather than vmap — batched-dimension gathers hit an XLA-TPU slow
+    path (see ops/gather.py). Returns ([B, N, 3], [B] valid).
     """
-    keys = jax.random.split(key, verts.shape[0])
-    return jax.vmap(sample_points, in_axes=(0, 0, 0, 0, None, None))(
-        keys, verts, faces, faces_mask, num_points, normalize)
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+
+    B, V, _ = verts.shape
+    F = faces.shape[1]
+    k_face, k1, k2 = jax.random.split(key, 3)
+
+    tri = batched_gather_rows(verts, faces.reshape(B, F * 3)).reshape(B, F, 3, 3)
+    ab = tri[:, :, 1] - tri[:, :, 0]
+    ac = tri[:, :, 2] - tri[:, :, 0]
+    areas = 0.5 * jnp.linalg.norm(jnp.cross(ab, ac), axis=-1)   # [B, F]
+    areas = jnp.where(faces_mask, areas, 0.0)
+    total = jnp.sum(areas, axis=1)                               # [B]
+    valid = total > 1e-12
+    probs = areas / jnp.where(valid, total, 1.0)[:, None]
+    cdf = jnp.cumsum(probs, axis=1)
+    u = jax.random.uniform(k_face, (B, num_points))
+    face_idx = jax.vmap(jnp.searchsorted)(cdf, u)
+    face_idx = jnp.clip(face_idx, 0, F - 1)
+
+    chosen = batched_gather_rows(tri.reshape(B, F, 9), face_idx).reshape(
+        B, num_points, 3, 3)
+    xi1_sqrt = jnp.sqrt(jax.random.uniform(k1, (B, num_points)))
+    xi2 = jax.random.uniform(k2, (B, num_points))
+    w0 = 1.0 - xi1_sqrt
+    w1 = (1.0 - xi2) * xi1_sqrt
+    w2 = xi2 * xi1_sqrt
+    ws = jnp.stack([w0, w1, w2], axis=-1)    # [B, N, 3]
+    pts = jnp.einsum("bnvd,bnv->bnd", chosen, ws)
+    if normalize:
+        pts = jax.vmap(normalize_verts)(pts)
+    pts = jnp.where(valid[:, None, None], pts, 0.0)
+    return pts, valid

@@ -40,9 +40,15 @@ def project_verts(verts: jnp.ndarray, image_size: tuple[int, int],
     return h, w
 
 
-def _bilinear_sample(fmap: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) -> jnp.ndarray:
-    """True bilinear sample of fmap [Hf, Wf, C] at fractional (rows, cols) [V]."""
-    Hf, Wf, C = fmap.shape
+def _bilinear_sample_batched(fmap: jnp.ndarray, rows: jnp.ndarray,
+                             cols: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of fmap [B, Hf, Wf, C] at fractional (rows, cols) [B, V].
+
+    The four corner reads are flattened global-index gathers over [B*Hf*Wf, C]
+    — vmapped (batched-dimension) gathers hit an XLA-TPU slow path (see
+    ops/gather.py), so the batch offset is folded into the index instead.
+    """
+    B, Hf, Wf, C = fmap.shape
     r0 = jnp.floor(rows)
     c0 = jnp.floor(cols)
     fr = rows - r0
@@ -51,29 +57,19 @@ def _bilinear_sample(fmap: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray) ->
     c0i = c0.astype(jnp.int32)
     r1i = jnp.minimum(r0i + 1, Hf - 1)
     c1i = jnp.minimum(c0i + 1, Wf - 1)
-    flat = fmap.reshape(Hf * Wf, C)
-    g = lambda r, c: flat[r * Wf + c]
-    out = (g(r0i, c0i) * ((1 - fr) * (1 - fc))[:, None]
-           + g(r0i, c1i) * ((1 - fr) * fc)[:, None]
-           + g(r1i, c0i) * (fr * (1 - fc))[:, None]
-           + g(r1i, c1i) * (fr * fc)[:, None])
+    flat = fmap.reshape(B * Hf * Wf, C)
+    base = (jnp.arange(B, dtype=jnp.int32) * (Hf * Wf))[:, None]
+    V = rows.shape[1]
+
+    def g(r, c):
+        idx = (base + r * Wf + c).reshape(-1)
+        return flat[idx].reshape(B, V, C)
+
+    out = (g(r0i, c0i) * ((1 - fr) * (1 - fc))[..., None]
+           + g(r0i, c1i) * ((1 - fr) * fc)[..., None]
+           + g(r1i, c0i) * (fr * (1 - fc))[..., None]
+           + g(r1i, c1i) * (fr * fc)[..., None])
     return out
-
-
-def _align_single(fmaps: Sequence[jnp.ndarray], verts: jnp.ndarray,
-                  image_size: tuple[int, int]) -> jnp.ndarray:
-    h, w = project_verts(verts, image_size)
-    H, W = image_size
-    feats = []
-    for fm in fmaps:
-        Hf, Wf, _ = fm.shape
-        # scale image-space coords to this pyramid level (layers.py:577-578)
-        rows = h / (float(H) / Hf)
-        cols = w / (float(W) / Wf)
-        rows = jnp.clip(rows, 0.0, Hf - 1)
-        cols = jnp.clip(cols, 0.0, Wf - 1)
-        feats.append(_bilinear_sample(fm, rows, cols))
-    return jnp.concatenate(feats, axis=-1)
 
 
 def vert_align(feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
@@ -89,5 +85,13 @@ def vert_align(feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
     Returns:
       [B, Vmax, sum(C_l)] pooled features (padded rows contain junk; mask downstream).
     """
-    fn = lambda fms, v: _align_single(fms, v, image_size)
-    return jax.vmap(fn)(list(feature_maps), verts)
+    h, w = project_verts(verts, image_size)       # [B, V] each
+    H, W = image_size
+    feats = []
+    for fm in feature_maps:
+        Hf, Wf = fm.shape[1:3]
+        # scale image-space coords to this pyramid level (layers.py:577-578)
+        rows = jnp.clip(h / (float(H) / Hf), 0.0, Hf - 1)
+        cols = jnp.clip(w / (float(W) / Wf), 0.0, Wf - 1)
+        feats.append(_bilinear_sample_batched(fm, rows, cols))
+    return jnp.concatenate(feats, axis=-1)

@@ -73,6 +73,9 @@ parser.add_argument("--roi_batch_size", type=int, default=512)
 def main():
     options = parser.parse_args()
     import jax
+
+    from meshrcnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     from jax.sharding import Mesh
 
     from meshrcnn_tpu.core.config import CapacityConfig, LossWeights, TrainConfig
@@ -153,6 +156,22 @@ def main():
     if options.model_path:
         state = load_state(options.model_path, state)
         safe_print(f"loaded checkpoint {options.model_path}")
+    elif options.backbone_path:
+        if options.backbone_path.endswith((".pth", ".pt")):
+            # torchvision zoo checkpoint -> converted flax params
+            from meshrcnn_tpu.utils.torch_convert import (load_pretrained_resnet50,
+                                                          merge_backbone_params)
+            bp, bs = load_pretrained_resnet50(options.backbone_path,
+                                              num_classes=13)
+            state = merge_backbone_params(state, bp, bs)
+        else:
+            # orbax backbone-only checkpoint from train_backbone.py
+            import orbax.checkpoint as ocp
+            from meshrcnn_tpu.utils.torch_convert import merge_backbone_params
+            bb = ocp.StandardCheckpointer().restore(
+                os.path.abspath(options.backbone_path))
+            state = merge_backbone_params(state, bb["params"], bb["batch_stats"])
+        safe_print(f"loaded backbone {options.backbone_path}")
 
     shard_fn = None
     if n_dev > 1:

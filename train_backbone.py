@@ -33,6 +33,9 @@ parser.add_argument("--print_freq", type=int, default=10)
 def main():
     options = parser.parse_args()
     import jax
+
+    from meshrcnn_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     import optax
     from flax import struct
