@@ -1,0 +1,56 @@
+"""Parity tests for the reference-style dict API (reference model output contracts:
+shapenet_model.py:43-99 train/eval dicts)."""
+import numpy as np
+import pytest
+
+from meshrcnn_tpu.core.config import TrainConfig
+from meshrcnn_tpu.models.api import ShapeNetAPI, to_ragged
+
+
+@pytest.fixture(scope="module")
+def api_and_batch():
+    from tests.test_train_step import tiny_batch  # reuse the tiny fixture shapes
+    batch = tiny_batch()
+    api = ShapeNetAPI(vert_capacity=512, face_capacity=1024, edge_capacity=2048,
+                      voxel_out_channels=8,
+                      config=TrainConfig(point_cloud_size=64, normal_k=4,
+                                         distance_tile=32))
+    # shrink the backbone-driven voxel head via the model? keep default tiny images
+    return api, batch
+
+
+def test_train_mode_returns_loss_dict(api_and_batch):
+    api, batch = api_and_batch
+    api.train()
+    out = api(batch.images, batch)
+    for key in ("voxel_loss", "chamfer_loss", "edge_loss", "normal_loss"):
+        assert key in out, f"missing {key}"
+        assert np.isfinite(float(out[key]))
+
+
+def test_train_mode_requires_targets(api_and_batch):
+    api, batch = api_and_batch
+    api.train()
+    with pytest.raises(ValueError):
+        api(batch.images)
+
+
+def test_eval_mode_returns_prediction_dict(api_and_batch):
+    api, batch = api_and_batch
+    api.eval()
+    out = api(batch.images)
+    B = batch.images.shape[0]
+    assert out["backbone"].shape == (B, 13)
+    assert np.allclose(np.asarray(out["backbone"]).sum(-1), 1.0, atol=1e-4)  # softmax
+    assert len(out["vertex_positions"]) == 4          # cubify + 3 stages
+    assert out["mesh_index"] == [1] * B
+    assert len(out["vertice_index"]) == B
+    assert len(out["face_index"]) == B
+    total_v = sum(out["vertice_index"])
+    total_f = sum(out["face_index"])
+    for stage in out["vertex_positions"]:
+        assert stage.shape == (total_v, 3)            # sum-V concat convention
+    assert out["faces"].shape == (total_f, 3)
+    assert out["edge_index"].shape[0] == 2            # COO, both directions
+    if total_v:
+        assert out["edge_index"].max() < total_v

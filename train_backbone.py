@@ -47,8 +47,7 @@ def main():
     from meshrcnn_tpu.utils.meters import AverageMeter, safe_print, save_stats
 
     if options.model == "Pix3D":
-        raise SystemExit("Pix3D backbone (Mask R-CNN) training lands with the "
-                         "detection stack")
+        return train_pix3d_backbone(options)
 
     classes = options.classes.split(",") if options.classes else None
     if options.dataRoot == "synthetic":
@@ -104,6 +103,91 @@ def main():
                    os.path.join(ckpt_dir, "backbone"), step=epoch)
         save_stats(meters, os.path.join(ckpt_dir, f"stats_{epoch}.st"))
     safe_print("backbone training done")
+
+
+def train_pix3d_backbone(options):
+    """Mask R-CNN-only training: RPN + RoI + mask losses, no mesh branch
+    (reference: train_backbone.py pix3d path via utils/train_utils.py:110-171)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from meshrcnn_tpu.core.config import CapacityConfig
+    from meshrcnn_tpu.data.datasets import SyntheticDataset, dataLoader, pix3dDataset
+    from meshrcnn_tpu.models.pix3d import Pix3DMaskRCNN
+    from meshrcnn_tpu.utils.checkpoint import checkpoint_dir, save_state
+    from meshrcnn_tpu.utils.meters import AverageMeter, safe_print, save_stats
+
+    classes = options.classes.split(",") if options.classes else None
+    img_size = 224
+    if options.dataRoot == "synthetic":
+        dataset = SyntheticDataset(n=max(options.num_sampels or 64, options.batchSize),
+                                   image_size=img_size, num_voxels=32,
+                                   num_classes=10, pix3d=True)
+    else:
+        dataset = pix3dDataset(options.dataRoot, classes)
+    loader = dataLoader(dataset, options.batchSize, 24,
+                        CapacityConfig(gt_verts=64, gt_faces=64),
+                        num_train_samples=options.num_sampels,
+                        train_ratio=options.train_ratio, image_size=img_size)
+
+    model = Pix3DMaskRCNN(num_classes=10)
+    sample = next(iter(loader))
+    rng = jax.random.PRNGKey(0)
+    init = jax.jit(model.init, static_argnames=("train",))
+    variables = init(rng, jnp.asarray(sample.images[:1]), train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    # Pix3D recipe: SGD + warmup 0.002->0.02 over 1k iters, /10 @8k/10k
+    # (reference: utils/train_utils.py:161-168)
+    def lr(step):
+        warm = 0.002 + (0.02 - 0.002) * jnp.minimum(step / 1000.0, 1.0)
+        decay = jnp.where(step >= 10000, 0.01, jnp.where(step >= 8000, 0.1, 1.0))
+        return warm * decay
+    tx = optax.chain(optax.add_decayed_weights(options.weightDecay), optax.sgd(lr))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, images, boxes, labels, masks, key):
+        def loss_fn(p):
+            (dets, losses, _), upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images, train=True,
+                gt_boxes=boxes, gt_labels=labels, gt_masks=masks, rng=key,
+                mutable=["batch_stats"])
+            total = sum(losses.values())
+            return total, (losses, upd.get("batch_stats", batch_stats))
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_bs, new_opt,
+                total, losses)
+
+    ckpt_dir = checkpoint_dir(options.checkpoint_root, "Pix3D", kind="backbone")
+    meters = {k: AverageMeter(k, ":.4f") for k in
+              ("loss", "loss_objectness", "loss_rpn_box_reg", "loss_classifier",
+               "loss_box_reg", "loss_mask")}
+    meters["batch_time"] = AverageMeter("batch_time", ":6.3f")
+    for epoch in range(options.nEpoch):
+        end = time.time()
+        for i, batch in enumerate(loader):
+            key = jax.random.fold_in(rng, epoch * 100000 + i)
+            params, batch_stats, opt_state, total, losses = step(
+                params, batch_stats, opt_state, jnp.asarray(batch.images),
+                jnp.asarray(batch.boxes), jnp.asarray(batch.labels),
+                jnp.asarray(batch.masks), key)
+            meters["loss"].update(float(total))
+            for k, v in losses.items():
+                meters[k].update(float(v))
+            meters["batch_time"].update(time.time() - end)
+            end = time.time()
+            if i % options.print_freq == 0:
+                safe_print(f"epoch {epoch} [{i}/{len(loader)}] "
+                           + "\t".join(str(m) for m in meters.values()))
+        for m in meters.values():
+            m.epoch_end()
+        save_state({"params": params, "batch_stats": batch_stats},
+                   os.path.join(ckpt_dir, "backbone"), step=epoch)
+        save_stats(meters, os.path.join(ckpt_dir, f"stats_{epoch}.st"))
+    safe_print("pix3d backbone training done")
 
 
 if __name__ == "__main__":
