@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 def _dist_block(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distances [N, T] between p [N,3] and q [T,3] (MXU matmul)."""
-    pq = jnp.dot(p, q.T, preferred_element_type=jnp.float32)
+    pq = jnp.dot(p, q.T, precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=jnp.float32)
     pp = jnp.sum(p * p, axis=-1, keepdims=True)
     qq = jnp.sum(q * q, axis=-1, keepdims=True)
     return pp + qq.T - 2.0 * pq
@@ -181,7 +182,8 @@ def batched_compute_normals(pts: jnp.ndarray, k: int = 10,
     neigh = batched_gather_rows(pts, idx.reshape(B, N * k)).reshape(B, N, k, 3)
     mean = jnp.mean(neigh, axis=2, keepdims=True)
     Y = neigh - mean
-    S = jnp.einsum("bnkd,bnke->bnde", Y, Y)
+    S = jnp.einsum("bnkd,bnke->bnde", Y, Y,
+                   precision=jax.lax.Precision.HIGHEST)
     return smallest_eigenvector(S)
 
 

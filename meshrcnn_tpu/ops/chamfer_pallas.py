@@ -1,0 +1,178 @@
+"""Fused bidirectional nearest-neighbour Pallas kernel for chamfer distances.
+
+One kernel pass over the [N, M] distance tiles produces BOTH directions'
+min/argmin (p->q and q->p). The XLA path (ops/chamfer.nearest_neighbor) needs two
+independent tile sweeps — two full rounds of distance computation; fusing them
+halves the MXU work and HBM traffic of the chamfer loss, the hot numeric core of
+every refinement stage (reference equivalent: the full 10k x 10k bmm p2p matrix +
+torch.min at loss_functions.py:93-102, 192-220).
+
+Layout notes (see pallas_guide): points are fed transposed-and-padded as [8, N]
+so the lane dimension is the (tile-aligned) point axis; the per-tile distance
+block d = |p|^2 + |q|^2 - 2 p.q lives in VMEM only. Row-direction outputs are
+accumulated in a revisited block (grid minor axis sweeps q tiles); the
+q-direction produces one partial row per p-tile, reduced outside the kernel
+(O(N/TILE x M), trivial). Padded points carry +BIG coordinates so they never win
+a min; their output slots are sliced off.
+
+``chamfer_distance_fused`` wraps the kernel with a custom VJP: the forward saves
+the argmin indices; the backward is closed-form — 2(p_i - q_{a_i}) for the gather
+side and a scatter-free sorted segment-sum (same trick as ops/graph_conv.py) for
+the scattered side.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 512
+BIG = 1.0e8
+
+
+def _pad_points_t(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
+    """[N, 3] -> transposed [8, n_pad] with BIG padding (rows 3..7 zero)."""
+    n = x.shape[0]
+    xt = jnp.zeros((8, n_pad), dtype=jnp.float32)
+    xt = xt.at[:3, :n].set(x.T.astype(jnp.float32))
+    if n_pad > n:
+        xt = xt.at[:3, n:].set(BIG)
+    return xt
+
+
+def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
+    j = pl.program_id(1)
+    i = pl.program_id(0)
+    pt = pt_ref[:]                     # [8, TP]
+    qt = qt_ref[:]                     # [8, TQ]
+    pq = jax.lax.dot_general(pt, qt, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)   # [TP, TQ]
+    pp = jnp.sum(pt * pt, axis=0)      # [TP]
+    qq = jnp.sum(qt * qt, axis=0)      # [TQ]
+    d = pp[:, None] + qq[None, :] - 2.0 * pq
+
+    # p -> q direction: running min over j (block revisited; j is the minor axis)
+    tile_min = jnp.min(d, axis=1)
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * d.shape[1]
+
+    @pl.when(j == 0)
+    def _():
+        minp_ref[0, :] = tile_min
+        argp_ref[0, :] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        prev = minp_ref[0, :]
+        take = tile_min < prev
+        minp_ref[0, :] = jnp.where(take, tile_min, prev)
+        argp_ref[0, :] = jnp.where(take, tile_arg, argp_ref[0, :])
+
+    # q -> p direction: one partial row per p tile, reduced outside. The block is
+    # 8 sublanes tall (TPU tiling minimum); rows 1..7 are neutralised with BIG.
+    filler = jnp.full((7, d.shape[1]), BIG, dtype=jnp.float32)
+    minq_part_ref[:] = jnp.concatenate([jnp.min(d, axis=0)[None, :], filler], axis=0)
+    arg0 = jnp.argmin(d, axis=0).astype(jnp.int32) + i * d.shape[0]
+    argq_part_ref[:] = jnp.concatenate(
+        [arg0[None, :], jnp.zeros((7, d.shape[1]), jnp.int32)], axis=0)
+
+
+@partial(jax.jit, static_argnames=())
+def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray):
+    N = p.shape[0]
+    M = q.shape[0]
+    n_pad = -(-N // TILE) * TILE
+    m_pad = -(-M // TILE) * TILE
+    I = n_pad // TILE
+    J = m_pad // TILE
+    pt = _pad_points_t(p, n_pad)
+    qt = _pad_points_t(q, m_pad)
+
+    grid = (I, J)
+    minp, argp, minq_part, argq_part = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8 * I, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8 * I, m_pad), jnp.int32),
+        ],
+    )(pt, qt)
+
+    d_p = minp[0, :N]
+    i_p = jnp.clip(argp[0, :N], 0, M - 1)
+    # reduce the q-direction partials over p tiles (rows 1..7 of each block are BIG)
+    best_row = jnp.argmin(minq_part, axis=0)                       # [m_pad]
+    d_q = jnp.min(minq_part, axis=0)[:M]
+    i_q = jnp.take_along_axis(argq_part, best_row[None, :], axis=0)[0, :M]
+    i_q = jnp.clip(i_q, 0, N - 1)
+    return d_p, i_p, d_q, i_q
+
+
+def _segment_sum_by_key(values: jnp.ndarray, keys: jnp.ndarray,
+                        num_segments: int, chunk: int = 512) -> jnp.ndarray:
+    """Scatter-free exact sum of values [E, C] grouped by keys [E] -> [V, C].
+
+    Chunked one-hot matmul on the MXU: exact f32 accumulation (a cumsum-based
+    prefix-difference loses ~1e-1 absolute here to cancellation over 10k rows),
+    ~0.5 ms for E = V = 10k, C = 3.
+    """
+    E = keys.shape[0]
+    n_chunks = -(-num_segments // chunk)
+    pad_v = n_chunks * chunk
+    k = keys.astype(jnp.int32)
+
+    def body(c_idx, _):
+        ids = c_idx * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
+        onehot = (k[None, :] == ids[:, None]).astype(values.dtype)   # [chunk, E]
+        return c_idx + 1, jnp.dot(onehot, values,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(body, 0, None, length=n_chunks)
+    return out.reshape(pad_v, values.shape[1])[:num_segments]
+
+
+@jax.custom_vjp
+def chamfer_sums_fused(p: jnp.ndarray, q: jnp.ndarray):
+    """(sum_i min_j d, idx_p, sum_j min_i d, idx_q) via the fused Pallas kernel."""
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q)
+    return jnp.sum(d_p), i_p, jnp.sum(d_q), i_q
+
+
+def _fwd(p, q):
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q)
+    return (jnp.sum(d_p), i_p, jnp.sum(d_q), i_q), (p, q, i_p, i_q)
+
+
+def _bwd(res, cots):
+    p, q, i_p, i_q = res
+    g1, _, g2, _ = cots            # cotangents of the two sums (indices: int, none)
+    N, M = p.shape[0], q.shape[0]
+    # L1 = sum_i |p_i - q_{a_i}|^2
+    diff1 = p - q[i_p]                                  # [N, 3]
+    dp = 2.0 * g1 * diff1
+    dq = -2.0 * g1 * _segment_sum_by_key(diff1, i_p, M)
+    # L2 = sum_j |q_j - p_{b_j}|^2
+    diff2 = q - p[i_q]                                  # [M, 3]
+    dq = dq + 2.0 * g2 * diff2
+    dp = dp - 2.0 * g2 * _segment_sum_by_key(diff2, i_q, N)
+    return dp, dq
+
+
+chamfer_sums_fused.defvjp(_fwd, _bwd)

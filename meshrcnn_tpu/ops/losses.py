@@ -82,12 +82,24 @@ def mesh_loss(key: jax.Array,
         k_gt, gt_verts, gt_faces, gt_faces_mask, point_cloud_size)
     valid = (valid_p & valid_g).astype(jnp.float32)      # [B]
 
-    # chamfer NN pass is pure matmul + min (vmap-safe); the normal path uses the
-    # batched gather-safe implementations
-    def per_sample_nn(p, g):
-        return chamfer_distance(p, g, tile)
+    import os
+    use_fused = (jax.default_backend() == "tpu"
+                 and os.environ.get("MESHRCNN_FUSED_CHAMFER", "1") == "1")
+    if use_fused:
+        # fused bidirectional Pallas kernel: one tile sweep yields both directions
+        from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused
+        per = [chamfer_sums_fused(cloud_p[b], cloud_g[b])
+               for b in range(cloud_p.shape[0])]
+        cham_p = jnp.stack([r[0] for r in per])
+        idx_p = jnp.stack([r[1] for r in per])
+        cham_g = jnp.stack([r[2] for r in per])
+        idx_g = jnp.stack([r[3] for r in per])
+    else:
+        # XLA fallback: two independent tiled NN sweeps (vmap-safe matmul + min)
+        def per_sample_nn(p, g):
+            return chamfer_distance(p, g, tile)
 
-    cham_p, idx_p, cham_g, idx_g = jax.vmap(per_sample_nn)(cloud_p, cloud_g)
+        cham_p, idx_p, cham_g, idx_g = jax.vmap(per_sample_nn)(cloud_p, cloud_g)
     align_p, align_g = batched_normal_distance(cloud_p, cloud_g, idx_p, idx_g,
                                                k=num_neighbours, tile=tile)
     chamfer = jnp.sum((cham_p + cham_g) * valid) / point_cloud_size

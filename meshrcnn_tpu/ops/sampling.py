@@ -92,7 +92,8 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     w1 = (1.0 - xi2) * xi1_sqrt
     w2 = xi2 * xi1_sqrt
     ws = jnp.stack([w0, w1, w2], axis=-1)    # [B, N, 3]
-    pts = jnp.einsum("bnvd,bnv->bnd", chosen, ws)
+    pts = jnp.einsum("bnvd,bnv->bnd", chosen, ws,
+                     precision=jax.lax.Precision.HIGHEST)
     if normalize:
         pts = jax.vmap(normalize_verts)(pts)
     pts = jnp.where(valid[:, None, None], pts, 0.0)
