@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from meshrcnn_tpu.ops.gather import batched_gather_rows
+from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
 
 
 @struct.dataclass
@@ -60,8 +60,9 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
         # padded slots must not contribute: redirect their source to the sentinel
         # segment... they already are (key = V sorts last); sources stay as-is.
         src_sorted = batched_gather_rows(src[..., None], order)[..., 0]
-        starts = jax.vmap(lambda k: jnp.searchsorted(k, v_ids, side="left"))(keys)
-        ends = jax.vmap(lambda k: jnp.searchsorted(k, v_ids, side="right"))(keys)
+        v_q = jnp.broadcast_to(v_ids[None, :], (keys.shape[0], V))
+        starts = batched_searchsorted(keys, v_q, side="left")
+        ends = batched_searchsorted(keys, v_q, side="right")
         return src_sorted, starts, ends
 
     src_lo, starts_lo, ends_lo = direction(lo_k, hi)   # contributions to lo from hi

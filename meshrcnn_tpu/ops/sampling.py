@@ -65,7 +65,7 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     gathers rather than vmap — batched-dimension gathers hit an XLA-TPU slow
     path (see ops/gather.py). Returns ([B, N, 3], [B] valid).
     """
-    from meshrcnn_tpu.ops.gather import batched_gather_rows
+    from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
 
     B, V, _ = verts.shape
     F = faces.shape[1]
@@ -81,7 +81,7 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     probs = areas / jnp.where(valid, total, 1.0)[:, None]
     cdf = jnp.cumsum(probs, axis=1)
     u = jax.random.uniform(k_face, (B, num_points))
-    face_idx = jax.vmap(jnp.searchsorted)(cdf, u)
+    face_idx = batched_searchsorted(cdf, u, side="left")
     face_idx = jnp.clip(face_idx, 0, F - 1)
 
     chosen = batched_gather_rows(tri.reshape(B, F, 9), face_idx).reshape(
