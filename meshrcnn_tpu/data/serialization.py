@@ -8,11 +8,35 @@ reshaped to dims and transposed xzy -> xyz (44-92).
 """
 from __future__ import annotations
 
+import os
+import sys
 from collections import namedtuple
 
 import numpy as np
 
 Mesh = namedtuple("Mesh", ["vertices", "faces"])
+
+# Native C fast path (csrc/fastio.c): ~10-30x faster OBJ parse / binvox RLE decode
+# than the Python tokenisers — the host data path is single-core here and becomes
+# the bottleneck at TPU step rates. Falls back to pure Python transparently.
+_fastio = None
+try:
+    _csrc = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "csrc")
+    sys.path.insert(0, _csrc)
+    try:
+        import fastio as _fastio  # already built
+    except ImportError:
+        try:
+            from build import build as _build_fastio  # csrc/build.py
+            _build_fastio()
+            import fastio as _fastio
+        except Exception:
+            _fastio = None
+    finally:
+        sys.path.remove(_csrc)
+except Exception:
+    _fastio = None
 
 
 def save_voxels(voxels, filename: str, threshold: float = 0.5) -> None:
@@ -39,6 +63,17 @@ def save_mesh(vertices, faces, filename: str) -> None:
 def load_mesh(filename: str) -> Mesh:
     """Parse an OBJ file; polygons are strip-triangulated (reference: 109-138)."""
     filename = filename.replace(".binvox", ".obj")
+    if _fastio is not None:
+        with open(filename, "rb") as f:
+            raw = f.read()
+        vb, nv, fb, nf = _fastio.parse_obj(raw)
+        vertices = np.frombuffer(vb, dtype=np.float32).reshape(nv, 3).copy()
+        triangles = np.frombuffer(fb, dtype=np.int64 if np.dtype("long").itemsize == 8
+                                  else np.int32).astype(np.int64).reshape(nf, 3)
+        if triangles.size and triangles.min() == 1:
+            triangles = triangles - 1
+        assert triangles.size == 0 or triangles.min() == 0
+        return Mesh(vertices, triangles)
     vertices = []
     triangles = []
     with open(filename) as file:
@@ -72,9 +107,15 @@ def _read_binvox_header(fp):
 def read_binvox(fp, fix_coords: bool = True) -> np.ndarray:
     """Decode the binvox RLE payload into a dims^3 int grid (reference: 57-92)."""
     dims, _, _ = _read_binvox_header(fp)
-    raw = np.frombuffer(fp.read(), dtype=np.uint8)
-    values, counts = raw[::2], raw[1::2]
-    data = np.repeat(values, counts).astype(bool).reshape(dims)
+    raw_bytes = fp.read()
+    total = dims[0] * dims[1] * dims[2]
+    if _fastio is not None:
+        expanded = _fastio.decode_rle(raw_bytes, total)
+        data = np.frombuffer(expanded, dtype=np.uint8).astype(bool).reshape(dims)
+    else:
+        raw = np.frombuffer(raw_bytes, dtype=np.uint8)
+        values, counts = raw[::2], raw[1::2]
+        data = np.repeat(values, counts).astype(bool).reshape(dims)
     if fix_coords:
         data = np.transpose(data, (0, 2, 1))  # xzy -> xyz
     return 1 * data

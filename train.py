@@ -68,11 +68,19 @@ parser.add_argument("--img_size", type=int, default=224,
 parser.add_argument("--rpn_pre_nms_top_n", type=int, default=1000)
 parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
 parser.add_argument("--roi_batch_size", type=int, default=512)
+parser.add_argument("--multihost", default=False, action="store_true",
+                    help="initialise jax.distributed for multi-host training "
+                         "(grads pmean over ICI+DCN through the same dp axis)")
 
 
 def main():
     options = parser.parse_args()
     import jax
+
+    if options.multihost:
+        # multi-host: same shard_map/psum path, collectives ride ICI within a
+        # slice and DCN across hosts (SURVEY.md §2.8 TPU-native equivalent)
+        jax.distributed.initialize()
 
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
