@@ -103,15 +103,15 @@ def edges_from_faces(faces: jnp.ndarray, faces_mask: jnp.ndarray,
     first = jnp.ones_like(lo_s, dtype=bool).at[1:].set(
         (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]))
     keep = valid & first
-    n_unique = jnp.sum(keep.astype(jnp.int32))
-    # Compaction: destination slot = exclusive cumsum of keep.
-    slot = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    slot = jnp.where(keep & (slot < edge_capacity), slot, edge_capacity)  # drop overflow
-    edges = jnp.zeros((edge_capacity + 1, 2), dtype=jnp.int32)
-    edges = edges.at[slot].set(jnp.stack([lo_s, hi_s], axis=-1), mode="drop")
-    edges = edges[:edge_capacity]
-    count = jnp.minimum(n_unique, edge_capacity)
+    cum_keep = jnp.cumsum(keep.astype(jnp.int32))
+    n_unique = cum_keep[-1]
+    # gather-based compaction: slot s takes the s-th kept entry via binary search
+    # over the inclusive cumsum (XLA scatter is write-serialised on TPU)
     idx = jax.lax.broadcasted_iota(jnp.int32, (edge_capacity, 1), 0)[:, 0]
+    src = jnp.searchsorted(cum_keep, idx + 1, side="left")
+    src = jnp.minimum(src, lo_s.shape[0] - 1)
+    edges = jnp.stack([lo_s[src], hi_s[src]], axis=-1)
+    count = jnp.minimum(n_unique, edge_capacity)
     edges_mask = idx < count
     edges = jnp.where(edges_mask[:, None], edges, 0)
     overflow = jnp.maximum(n_unique - edge_capacity, 0)

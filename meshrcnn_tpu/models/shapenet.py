@@ -57,11 +57,13 @@ class ShapeNetModel(nn.Module):
     vert_capacity: int = 8192
     face_capacity: int = 16384
     edge_capacity: int = 32768
+    backbone_dtype: str = "bfloat16"  # conv compute dtype; BN/params stay f32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> ShapeNetOutput:
         B, H, W, _ = images.shape
         logits, feature_maps = ResNet50(num_classes=self.num_classes,
+                                        dtype=jnp.dtype(self.backbone_dtype),
                                         name="backbone")(images, train)
 
         c5 = feature_maps[-1]

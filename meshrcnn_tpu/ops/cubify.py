@@ -93,8 +93,9 @@ def _cubify_single(grid: jnp.ndarray, threshold: float,
             used = used.at[oz:oz + Z, oy:oy + Y, ox:ox + X].max(exposed[d])
 
     flat_used = used.reshape(-1)
-    vid_flat = jnp.cumsum(flat_used.astype(jnp.int32)) - 1  # id of each used corner
-    n_verts = jnp.sum(flat_used.astype(jnp.int32))
+    cum_used = jnp.cumsum(flat_used.astype(jnp.int32))      # inclusive counts
+    vid_flat = cum_used - 1                                  # id of each used corner
+    n_verts = cum_used[-1]
     id_grid = vid_flat.reshape(Z + 1, Y + 1, X + 1)
 
     # Vertex positions: lattice index - 0.5 in (z,y,x), then the reference's
@@ -104,12 +105,16 @@ def _cubify_single(grid: jnp.ndarray, threshold: float,
     lx = jax.lax.broadcasted_iota(jnp.float32, used.shape, 2) - 0.5
     coords = jnp.stack([lz.reshape(-1), lx.reshape(-1), -ly.reshape(-1)], axis=-1)
 
-    slot = jnp.where(flat_used & (vid_flat < vert_capacity), vid_flat, vert_capacity)
-    verts = jnp.zeros((vert_capacity + 1, 3), dtype=jnp.float32)
-    verts = verts.at[slot].set(coords, mode="drop")[:vert_capacity]
-    v_count = jnp.minimum(n_verts, vert_capacity)
+    # gather-based compaction: slot s takes the s-th used corner, found by binary
+    # search over the inclusive cumsum (an XLA scatter here is write-serialised —
+    # measured ~11 ms/call; this is pure gathers)
     v_iota = jax.lax.broadcasted_iota(jnp.int32, (vert_capacity, 1), 0)[:, 0]
+    src_corner = jnp.searchsorted(cum_used, v_iota + 1, side="left")
+    src_corner = jnp.minimum(src_corner, coords.shape[0] - 1)
+    verts = coords[src_corner]
+    v_count = jnp.minimum(n_verts, vert_capacity)
     verts_mask = v_iota < v_count
+    verts = jnp.where(verts_mask[:, None], verts, 0.0)
 
     # ---- candidate faces -------------------------------------------------------
     # For each direction: gather the 4 corner ids per voxel, emit 2 triangles.
@@ -127,13 +132,13 @@ def _cubify_single(grid: jnp.ndarray, threshold: float,
     cand = jnp.concatenate(tri_list, axis=0)          # [6*2*Z*Y*X, 3]
     cand_mask = jnp.concatenate(tri_mask, axis=0)
 
-    n_faces = jnp.sum(cand_mask.astype(jnp.int32))
-    fslot = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1
-    fslot = jnp.where(cand_mask & (fslot < face_capacity), fslot, face_capacity)
-    faces = jnp.zeros((face_capacity + 1, 3), dtype=jnp.int32)
-    faces = faces.at[fslot].set(cand, mode="drop")[:face_capacity]
-    f_count = jnp.minimum(n_faces, face_capacity)
+    cum_faces = jnp.cumsum(cand_mask.astype(jnp.int32))
+    n_faces = cum_faces[-1]
     f_iota = jax.lax.broadcasted_iota(jnp.int32, (face_capacity, 1), 0)[:, 0]
+    src_cand = jnp.searchsorted(cum_faces, f_iota + 1, side="left")
+    src_cand = jnp.minimum(src_cand, cand.shape[0] - 1)
+    faces = cand[src_cand]
+    f_count = jnp.minimum(n_faces, face_capacity)
     faces_mask = f_iota < f_count
     # Clamp ids of faces referencing overflowed vertices; mask those faces out.
     face_valid = faces_mask & jnp.all(faces < vert_capacity, axis=-1)

@@ -95,6 +95,78 @@ def load_pretrained_resnet50(path: str, num_classes: int = 13) -> Tuple[dict, di
     return convert_resnet50(sd, num_classes=num_classes)
 
 
+def convert_maskrcnn(state_dict: Dict[str, Any], num_classes: int | None = None
+                     ) -> Tuple[dict, dict]:
+    """Map a torchvision maskrcnn_resnet50_fpn state dict to this framework's
+    Pix3DMaskRCNN parameter tree (reference-equivalent of pretrained_MaskRcnn,
+    pix3d_model.py:163-178, minus the download).
+
+    Converts: ResNet body (backbone.body.*), FPN laterals/outputs
+    (backbone.fpn.inner/layer_blocks.*), RPN head, box TwoMLPHead + predictor and
+    the mask head. Heads whose class count differs from ``num_classes`` (COCO 91
+    vs Pix3D 10) are dropped, matching the reference's head swap.
+    """
+    body = {k[len("backbone.body."):]: v for k, v in state_dict.items()
+            if k.startswith("backbone.body.")}
+    res_p, res_s = convert_resnet50(body)
+
+    params: dict = {"backbone": res_p}
+    stats: dict = {"backbone": res_s}
+
+    def conv(name):
+        return np.transpose(_t2n(state_dict[name + ".weight"]), (2, 3, 1, 0))
+
+    def conv_b(name):
+        return {"kernel": conv(name), "bias": _t2n(state_dict[name + ".bias"])}
+
+    def dense(name):
+        return {"kernel": _t2n(state_dict[name + ".weight"]).T,
+                "bias": _t2n(state_dict[name + ".bias"])}
+
+    # FPN: torchvision inner_blocks (1x1 laterals) and layer_blocks (3x3 outs)
+    for i in range(4):
+        params["backbone"][f"lateral{i + 2}"] = conv_b(f"backbone.fpn.inner_blocks.{i}")
+        params["backbone"][f"out{i + 2}"] = conv_b(f"backbone.fpn.layer_blocks.{i}")
+
+    # RPN head
+    params["rpn_head"] = {
+        "conv": conv_b("rpn.head.conv"),
+        "cls_logits": conv_b("rpn.head.cls_logits"),
+        "bbox_pred": conv_b("rpn.head.bbox_pred"),
+    }
+
+    roi: dict = {}
+    roi["box_head"] = {"fc6": dense("roi_heads.box_head.fc6"),
+                       "fc7": dense("roi_heads.box_head.fc7")}
+    cls_w = _t2n(state_dict["roi_heads.box_predictor.cls_score.weight"])
+    if num_classes is None or cls_w.shape[0] == num_classes:
+        roi["box_predictor"] = {
+            "cls_score": dense("roi_heads.box_predictor.cls_score"),
+            "bbox_pred": dense("roi_heads.box_predictor.bbox_pred")}
+    mask = {}
+    for i in range(1, 5):
+        mask[f"mask_fcn{i}"] = conv_b(f"roi_heads.mask_head.mask_fcn{i}")
+    # torchvision ConvTranspose2d weight is [in, out, kh, kw] -> flax [kh, kw, in, out]
+    w5 = _t2n(state_dict["roi_heads.mask_predictor.conv5_mask.weight"])
+    mask["conv5_mask"] = {"kernel": np.transpose(w5, (2, 3, 0, 1)),
+                          "bias": _t2n(state_dict["roi_heads.mask_predictor.conv5_mask.bias"])}
+    logits_w = _t2n(state_dict["roi_heads.mask_predictor.mask_fcn_logits.weight"])
+    if num_classes is None or logits_w.shape[0] == num_classes:
+        mask["mask_fcn_logits"] = conv_b("roi_heads.mask_predictor.mask_fcn_logits")
+    roi["mask_head"] = mask
+    params["roi_heads"] = roi
+    return params, stats
+
+
+def load_pretrained_maskrcnn(path: str, num_classes: int = 10) -> Tuple[dict, dict]:
+    """Load a torchvision maskrcnn_resnet50_fpn_coco .pth -> (params, batch_stats)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return convert_maskrcnn(sd, num_classes=num_classes)
+
+
 def merge_backbone_params(state, backbone_params: dict, backbone_stats: dict,
                           prefix: str = "backbone"):
     """Graft converted backbone params into a TrainState, keeping other params.

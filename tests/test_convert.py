@@ -83,3 +83,67 @@ def test_convert_resnet50_into_flax():
     assert logits.shape == (1, 13)
     assert np.isfinite(np.asarray(logits)).all()
     assert fmaps[-1].shape[-1] == 2048
+
+
+def build_torch_style_maskrcnn_sd(num_classes=91, seed=0):
+    """Minimal torchvision maskrcnn_resnet50_fpn-shaped state dict."""
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    body = build_torch_style_state_dict(seed=seed)
+    body.pop("fc.weight"); body.pop("fc.bias")
+    for k, v in body.items():
+        sd["backbone.body." + k] = v
+
+    def conv_b(name, o, i, k):
+        sd[name + ".weight"] = torch.randn(o, i, k, k, generator=g) * 0.05
+        sd[name + ".bias"] = torch.zeros(o)
+
+    def dense(name, o, i):
+        sd[name + ".weight"] = torch.randn(o, i, generator=g) * 0.01
+        sd[name + ".bias"] = torch.zeros(o)
+
+    for idx, c in enumerate((256, 512, 1024, 2048)):
+        conv_b(f"backbone.fpn.inner_blocks.{idx}", 256, c, 1)
+        conv_b(f"backbone.fpn.layer_blocks.{idx}", 256, 256, 3)
+    conv_b("rpn.head.conv", 256, 256, 3)
+    conv_b("rpn.head.cls_logits", 3, 256, 1)
+    conv_b("rpn.head.bbox_pred", 12, 256, 1)
+    dense("roi_heads.box_head.fc6", 1024, 12 * 12 * 256)
+    dense("roi_heads.box_head.fc7", 1024, 1024)
+    dense("roi_heads.box_predictor.cls_score", num_classes, 1024)
+    dense("roi_heads.box_predictor.bbox_pred", num_classes * 4, 1024)
+    for i in range(1, 5):
+        conv_b(f"roi_heads.mask_head.mask_fcn{i}", 256, 256, 3)
+    sd["roi_heads.mask_predictor.conv5_mask.weight"] = torch.randn(256, 256, 2, 2, generator=g) * 0.05
+    sd["roi_heads.mask_predictor.conv5_mask.bias"] = torch.zeros(256)
+    conv_b("roi_heads.mask_predictor.mask_fcn_logits", num_classes, 256, 1)
+    return sd
+
+
+def test_convert_maskrcnn_into_flax():
+    from meshrcnn_tpu.models.pix3d import Pix3DMaskRCNN
+    from meshrcnn_tpu.utils.torch_convert import convert_maskrcnn
+
+    sd = build_torch_style_maskrcnn_sd()
+    params, stats = convert_maskrcnn(sd, num_classes=10)  # COCO heads dropped
+    assert "box_predictor" not in params["roi_heads"]
+    assert "mask_fcn_logits" not in params["roi_heads"]["mask_head"]
+
+    model = Pix3DMaskRCNN(num_classes=10, rpn_pre_nms_top_n=64,
+                          rpn_post_nms_top_n=32, roi_batch_size=32, mask_rois=8)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    fresh_p = jax.device_get(variables["params"])
+    fresh_s = jax.device_get(variables["batch_stats"])
+
+    def check_subset(dst, src, path=""):
+        for k, v in src.items():
+            assert k in dst, f"missing {path}/{k} in flax params"
+            if isinstance(v, dict):
+                check_subset(dst[k], v, path + "/" + k)
+            else:
+                assert np.asarray(dst[k]).shape == np.asarray(v).shape, \
+                    f"{path}/{k}: {np.asarray(dst[k]).shape} vs {np.asarray(v).shape}"
+
+    check_subset(fresh_p, params)
+    check_subset(fresh_s, stats)

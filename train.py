@@ -167,10 +167,15 @@ def main():
     elif options.backbone_path:
         if options.backbone_path.endswith((".pth", ".pt")):
             # torchvision zoo checkpoint -> converted flax params
-            from meshrcnn_tpu.utils.torch_convert import (load_pretrained_resnet50,
+            from meshrcnn_tpu.utils.torch_convert import (load_pretrained_maskrcnn,
+                                                          load_pretrained_resnet50,
                                                           merge_backbone_params)
-            bp, bs = load_pretrained_resnet50(options.backbone_path,
-                                              num_classes=13)
+            if is_pix3d:
+                bp, bs = load_pretrained_maskrcnn(options.backbone_path,
+                                                  num_classes=10)
+            else:
+                bp, bs = load_pretrained_resnet50(options.backbone_path,
+                                                  num_classes=13)
             state = merge_backbone_params(state, bp, bs)
         else:
             # orbax backbone-only checkpoint from train_backbone.py
