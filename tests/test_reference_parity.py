@@ -100,3 +100,29 @@ def test_normalize_cloud_parity():
     ref = (t / factor).numpy()
     got = np.asarray(normalize_verts(jnp.asarray(pts)))
     assert np.allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(
+    "/root/reference/shapenet_ex/00_voxel_obj0.npy"),
+    reason="reference artifacts not mounted")
+def test_cubify_artifact_parity():
+    """Run our cubify on the reference's shipped 48^3 voxel prediction and compare
+    against its shipped stage-0 mesh (reference: shapenet_ex/, produced by demo.py):
+    the vertex SET and face SET must match exactly (2629 verts / 4896 tris)."""
+    from meshrcnn_tpu.data.serialization import load_mesh
+    from meshrcnn_tpu.ops.cubify import cubify
+
+    v = np.load("/root/reference/shapenet_ex/00_voxel_obj0.npy").astype(np.float32)
+    mesh, ovf = cubify(jnp.asarray(v)[None], 0.5, vert_capacity=4096,
+                       face_capacity=8192, edge_capacity=16384)
+    ref = load_mesh("/root/reference/shapenet_ex/00_mesh_stage0_obj_0.obj")
+    assert int(mesh.num_verts()[0]) == ref.vertices.shape[0] == 2629
+    assert int(mesh.num_faces()[0]) == ref.faces.shape[0] == 4896
+    mine = np.asarray(mesh.verts[0])[np.asarray(mesh.verts_mask[0])]
+    assert ({tuple(np.round(x, 3)) for x in mine}
+            == {tuple(np.round(x, 3)) for x in ref.vertices})
+    fm = np.asarray(mesh.faces[0])[np.asarray(mesh.faces_mask[0])]
+    tri_mine = {tuple(sorted(map(tuple, np.round(mine[f], 3)))) for f in fm}
+    tri_ref = {tuple(sorted(map(tuple, np.round(ref.vertices[f], 3))))
+               for f in ref.faces}
+    assert tri_mine == tri_ref
