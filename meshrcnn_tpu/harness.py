@@ -57,6 +57,16 @@ from functools import partial
 _voxel_loss_j = jax.jit(voxel_loss)
 
 
+@partial(jax.jit, static_argnames=("threshold",))
+def _voxel_iou_j(pred, gt, threshold: float = 0.5):
+    """Occupancy IoU of thresholded predictions vs {0,1} targets."""
+    p = pred > threshold
+    t = gt > 0.5
+    inter = jnp.sum(jnp.logical_and(p, t))
+    union = jnp.maximum(jnp.sum(jnp.logical_or(p, t)), 1)
+    return inter.astype(jnp.float32) / union.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile"))
 def _mesh_eval_losses(key, stage_verts, mesh, gt_verts, gt_faces, gt_faces_mask,
                       point_cloud_size, num_neighbours, tile):
@@ -99,8 +109,11 @@ def validate(epoch: int, eval_step: Callable, state, loader,
         out = eval_step(state, images)
         key = jax.random.fold_in(rng, i)
 
-        meters["voxel_loss"].update(float(_voxel_loss_j(out.voxels,
-                                                        jnp.asarray(batch.voxels))))
+        gt_vox = jnp.asarray(batch.voxels)
+        meters["voxel_loss"].update(float(_voxel_loss_j(out.voxels, gt_vox)))
+        if "voxel_iou" not in meters:
+            meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
+        meters["voxel_iou"].update(float(_voxel_iou_j(out.voxels, gt_vox)))
 
         preds = np.asarray(jnp.argmax(out.logits, axis=-1))
         for p, t in zip(preds, np.asarray(batch.labels)):
@@ -204,8 +217,11 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
         # get_only_max analog: pick the best detection's mesh slot per image
         slot = np.arange(B) * D + best_idx
         voxels = jnp.asarray(np.asarray(out.voxels)[slot])
-        meters["voxel_loss"].update(float(_voxel_loss_j(voxels,
-                                                        jnp.asarray(batch.voxels))))
+        gt_vox = jnp.asarray(batch.voxels)
+        meters["voxel_loss"].update(float(_voxel_loss_j(voxels, gt_vox)))
+        if "voxel_iou" not in meters:
+            meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
+        meters["voxel_iou"].update(float(_voxel_iou_j(voxels, gt_vox)))
 
         for p, t in zip(best_labels, gt_labels):
             confusion[int(t), int(p)] += 1

@@ -6,7 +6,9 @@ the mesh with data-dependent shapes: ``nonzero()``, a Python loop over direction
 ``unique(dim=0)`` vertex dedup and a *Python dict hash table* to reindex faces
 (layers.py:455-462). None of that can live inside an XLA program.
 
-Here everything is fixed shape:
+Here everything is fixed shape, and every data movement is chosen for XLA-TPU's fast
+paths (no scatters — write-serialised; no vmapped searchsorted/gathers — pathological
+batched-gather lowering):
 
  1. ``occ = grid > threshold`` and six zero-padded shifts give the 6 exposure masks
     (replaces the conv3d at layers.py:411).
@@ -17,9 +19,11 @@ Here everything is fixed shape:
     layers.py:447-462).
  3. Every (direction, voxel) pair owns two statically-addressed candidate triangles
     whose vertex ids are gathers from the id grid; valid ones are compacted to the
-    front of a [Fmax, 3] buffer with a cumsum scatter.
+    front of a [Fmax, 3] buffer by **batched binary search over the inclusive cumsum**
+    (slot s takes the s-th valid candidate) + flat gathers — the per-sample raw pass
+    is vmapped, the compaction runs batched outside the vmap.
  4. Unique undirected edges come from a lexicographic sort + adjacent-compare compact
-    (see core.mesh.edges_from_faces; replaces unique(dim=1) at layers.py:478).
+    (replaces unique(dim=1) at layers.py:478), with the same batched compaction.
 
 Geometry conventions copied from the reference so OBJ artifacts are comparable:
 corners at voxel_index +/- 0.5; per-direction corner tables from layers.py:370-400;
@@ -27,7 +31,8 @@ quad triangulated as (c0,c1,c2),(c0,c2,c3) (layers.py:441-443); final coordinate
 transform (z,y,x) -> (z, x, -y), i.e. the 90-degree x-rotation at layers.py:466-467.
 (Note: the reference's corner tables are in raster order, not cyclic order, so its
 (0,1,2),(0,2,3) triangulation leaves sliver gaps in every quad. We reproduce the
-topology exactly for behavioural parity; sampling/losses match as a result.)
+topology exactly for behavioural parity; tests/test_reference_parity.py shows this
+cubify reproduces the reference's shipped demo mesh exactly.)
 
 Capacity overflow is *detected and reported* per sample instead of the reference's
 silent try/except batch skipping (utils/train_utils.py:134-137): callers receive
@@ -41,7 +46,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from meshrcnn_tpu.core.mesh import MeshBatch, edges_from_faces
+from meshrcnn_tpu.core.mesh import MeshBatch
+from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
 
 # Per-direction corner lattice offsets (oz, oy, ox), transcribed from the reference
 # deltas table (meshRCNN/layers.py:370-400) with -0.5 -> 0 and +0.5 -> 1.
@@ -78,15 +84,12 @@ def _neighbor_occ(occ: jnp.ndarray, dz: int, dy: int, dx: int) -> jnp.ndarray:
     return p[1 + dz:1 + dz + Z, 1 + dy:1 + dy + Y, 1 + dx:1 + dx + X]
 
 
-def _cubify_single(grid: jnp.ndarray, threshold: float,
-                   vert_capacity: int, face_capacity: int, edge_capacity: int):
-    """Cubify one [Z, Y, X] probability grid. Returns padded mesh + overflow counts."""
+def _cubify_raw(grid: jnp.ndarray, threshold: float):
+    """Per-sample raw pass: exposure, corner ids, candidate triangles, cumsums."""
     Z, Y, X = grid.shape
     occ = grid > threshold
-
     exposed = [occ & ~_neighbor_occ(occ, *_NEIGHBOR[d]) for d in range(6)]
 
-    # ---- corner-used grid and vertex ids -------------------------------------
     used = jnp.zeros((Z + 1, Y + 1, X + 1), dtype=bool)
     for d in range(6):
         for (oz, oy, ox) in _CORNERS[d]:
@@ -95,29 +98,8 @@ def _cubify_single(grid: jnp.ndarray, threshold: float,
     flat_used = used.reshape(-1)
     cum_used = jnp.cumsum(flat_used.astype(jnp.int32))      # inclusive counts
     vid_flat = cum_used - 1                                  # id of each used corner
-    n_verts = cum_used[-1]
     id_grid = vid_flat.reshape(Z + 1, Y + 1, X + 1)
 
-    # Vertex positions: lattice index - 0.5 in (z,y,x), then the reference's
-    # 90-deg x-rotation (z,y,x) -> (z, x, -y)  (layers.py:466-467).
-    lz = jax.lax.broadcasted_iota(jnp.float32, used.shape, 0) - 0.5
-    ly = jax.lax.broadcasted_iota(jnp.float32, used.shape, 1) - 0.5
-    lx = jax.lax.broadcasted_iota(jnp.float32, used.shape, 2) - 0.5
-    coords = jnp.stack([lz.reshape(-1), lx.reshape(-1), -ly.reshape(-1)], axis=-1)
-
-    # gather-based compaction: slot s takes the s-th used corner, found by binary
-    # search over the inclusive cumsum (an XLA scatter here is write-serialised —
-    # measured ~11 ms/call; this is pure gathers)
-    v_iota = jax.lax.broadcasted_iota(jnp.int32, (vert_capacity, 1), 0)[:, 0]
-    src_corner = jnp.searchsorted(cum_used, v_iota + 1, side="left")
-    src_corner = jnp.minimum(src_corner, coords.shape[0] - 1)
-    verts = coords[src_corner]
-    v_count = jnp.minimum(n_verts, vert_capacity)
-    verts_mask = v_iota < v_count
-    verts = jnp.where(verts_mask[:, None], verts, 0.0)
-
-    # ---- candidate faces -------------------------------------------------------
-    # For each direction: gather the 4 corner ids per voxel, emit 2 triangles.
     tri_list = []
     tri_mask = []
     for d in range(6):
@@ -131,26 +113,68 @@ def _cubify_single(grid: jnp.ndarray, threshold: float,
         tri_mask.append(e)
     cand = jnp.concatenate(tri_list, axis=0)          # [6*2*Z*Y*X, 3]
     cand_mask = jnp.concatenate(tri_mask, axis=0)
-
     cum_faces = jnp.cumsum(cand_mask.astype(jnp.int32))
-    n_faces = cum_faces[-1]
-    f_iota = jax.lax.broadcasted_iota(jnp.int32, (face_capacity, 1), 0)[:, 0]
-    src_cand = jnp.searchsorted(cum_faces, f_iota + 1, side="left")
-    src_cand = jnp.minimum(src_cand, cand.shape[0] - 1)
-    faces = cand[src_cand]
-    f_count = jnp.minimum(n_faces, face_capacity)
-    faces_mask = f_iota < f_count
-    # Clamp ids of faces referencing overflowed vertices; mask those faces out.
-    face_valid = faces_mask & jnp.all(faces < vert_capacity, axis=-1)
-    faces = jnp.where(face_valid[:, None], faces, 0)
+    return cum_used, cand, cum_faces
 
-    # ---- unique undirected edges -----------------------------------------------
-    edges, edges_mask, e_overflow = edges_from_faces(faces, face_valid, edge_capacity)
 
-    overflow_v = jnp.maximum(n_verts - vert_capacity, 0)
-    overflow_f = jnp.maximum(n_faces - face_capacity, 0)
-    return (verts, verts_mask, faces, face_valid, edges, edges_mask,
-            overflow_v, overflow_f, e_overflow)
+def _corner_coords(Z: int, Y: int, X: int) -> jnp.ndarray:
+    """[(Z+1)(Y+1)(X+1), 3] corner coordinates after the reference's axis rotation."""
+    shape = (Z + 1, Y + 1, X + 1)
+    lz = jax.lax.broadcasted_iota(jnp.float32, shape, 0) - 0.5
+    ly = jax.lax.broadcasted_iota(jnp.float32, shape, 1) - 0.5
+    lx = jax.lax.broadcasted_iota(jnp.float32, shape, 2) - 0.5
+    # (z,y,x) -> (z, x, -y): the 90-deg x-rotation at layers.py:466-467
+    return jnp.stack([lz.reshape(-1), lx.reshape(-1), -ly.reshape(-1)], axis=-1)
+
+
+def _compact(cum: jnp.ndarray, capacity: int):
+    """Batched slot -> source mapping: slot s takes the s-th flagged entry.
+
+    cum: [B, N] inclusive cumsum of the keep flags. Returns (src [B, cap] int32,
+    mask [B, cap] bool, count [B] int32).
+    """
+    B, N = cum.shape
+    iota = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    q = jnp.broadcast_to(iota[None, :] + 1, (B, capacity))
+    src = batched_searchsorted(cum, q, side="left")
+    src = jnp.minimum(src, N - 1)
+    count = jnp.minimum(cum[:, -1], capacity)
+    mask = iota[None, :] < count[:, None]
+    return src, mask, cum[:, -1]
+
+
+def batched_edges_from_faces(faces: jnp.ndarray, faces_mask: jnp.ndarray,
+                             edge_capacity: int):
+    """Unique undirected edges of padded triangle lists, batched and scatter-free.
+
+    Canonicalise each triangle edge as (min, max), lexicographically sort (vmapped
+    lax.sort — sorts are fine under vmap), mark first-occurrences, compact via
+    batched binary search over the keep cumsum. Replaces the reference's
+    ``unique(dim=1)`` COO construction (layers.py:469-478).
+    """
+    B, F, _ = faces.shape
+    f = faces.astype(jnp.int32)
+    a = jnp.concatenate([f[:, :, 0], f[:, :, 1], f[:, :, 0]], axis=1)
+    b = jnp.concatenate([f[:, :, 1], f[:, :, 2], f[:, :, 2]], axis=1)
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    m3 = jnp.concatenate([faces_mask] * 3, axis=1)
+    big = jnp.int32(2**31 - 1)
+    lo = jnp.where(m3, lo, big)
+    hi = jnp.where(m3, hi, big)
+    lo_s, hi_s = jax.vmap(lambda x, y: jax.lax.sort((x, y), num_keys=2))(lo, hi)
+    valid = lo_s < big
+    first = jnp.ones_like(valid)
+    first = first.at[:, 1:].set((lo_s[:, 1:] != lo_s[:, :-1])
+                                | (hi_s[:, 1:] != hi_s[:, :-1]))
+    keep = valid & first
+    cum_keep = jnp.cumsum(keep.astype(jnp.int32), axis=1)
+    src, mask, n_unique = _compact(cum_keep, edge_capacity)
+    lo_c = batched_gather_rows(lo_s[..., None], src)[..., 0]
+    hi_c = batched_gather_rows(hi_s[..., None], src)[..., 0]
+    edges = jnp.where(mask[..., None], jnp.stack([lo_c, hi_c], axis=-1), 0)
+    overflow = jnp.maximum(n_unique - edge_capacity, 0)
+    return edges, mask, overflow
 
 
 @partial(jax.jit, static_argnames=("threshold", "vert_capacity", "face_capacity",
@@ -170,9 +194,28 @@ def cubify(grid: jnp.ndarray, threshold: float = 0.5, *,
       of the reference's ``ValueError("empty grid")`` (layers.py:434-435) so training
       steps never abort mid-jit; callers can inspect ``mesh.num_verts() == 0``.
     """
-    fn = partial(_cubify_single, threshold=threshold, vert_capacity=vert_capacity,
-                 face_capacity=face_capacity, edge_capacity=edge_capacity)
-    (verts, vmask, faces, fmask, edges, emask, ov, of, oe) = jax.vmap(fn)(grid)
-    mesh = MeshBatch(verts=verts, verts_mask=vmask, faces=faces, faces_mask=fmask,
-                     edges=edges, edges_mask=emask)
-    return mesh, CubifyOverflow(verts=ov, faces=of, edges=oe)
+    B, Z, Y, X = grid.shape
+    cum_used, cand, cum_faces = jax.vmap(partial(_cubify_raw, threshold=threshold))(grid)
+
+    # ---- vertices: compact used corners (coords shared across the batch) -------
+    coords = _corner_coords(Z, Y, X)
+    v_src, verts_mask, n_verts = _compact(cum_used, vert_capacity)
+    verts = coords[v_src.reshape(-1)].reshape(B, vert_capacity, 3)
+    verts = jnp.where(verts_mask[..., None], verts, 0.0)
+
+    # ---- faces: compact valid candidate triangles -------------------------------
+    f_src, faces_mask, n_faces = _compact(cum_faces, face_capacity)
+    faces = batched_gather_rows(cand, f_src)
+    face_valid = faces_mask & jnp.all(faces < vert_capacity, axis=-1)
+    faces = jnp.where(face_valid[..., None], faces, 0)
+
+    # ---- unique undirected edges -------------------------------------------------
+    edges, edges_mask, e_overflow = batched_edges_from_faces(faces, face_valid,
+                                                             edge_capacity)
+
+    mesh = MeshBatch(verts=verts, verts_mask=verts_mask, faces=faces,
+                     faces_mask=face_valid, edges=edges, edges_mask=edges_mask)
+    overflow = CubifyOverflow(verts=jnp.maximum(n_verts - vert_capacity, 0),
+                              faces=jnp.maximum(n_faces - face_capacity, 0),
+                              edges=e_overflow)
+    return mesh, overflow
