@@ -85,7 +85,12 @@ def _neighbor_occ(occ: jnp.ndarray, dz: int, dy: int, dx: int) -> jnp.ndarray:
 
 
 def _cubify_raw(grid: jnp.ndarray, threshold: float):
-    """Per-sample raw pass: exposure, corner ids, candidate triangles, cumsums."""
+    """Per-sample raw pass: exposure, corner-id cumsum, candidate-mask cumsum.
+
+    Candidate triangles are NOT materialised (6*2*Z^3 x 3 ids would be ~50 MB per
+    batch at 48^3): their corner ids are reconstructed arithmetically from the
+    selected slot indices in ``cubify`` below.
+    """
     Z, Y, X = grid.shape
     occ = grid > threshold
     exposed = [occ & ~_neighbor_occ(occ, *_NEIGHBOR[d]) for d in range(6)]
@@ -98,23 +103,14 @@ def _cubify_raw(grid: jnp.ndarray, threshold: float):
     flat_used = used.reshape(-1)
     cum_used = jnp.cumsum(flat_used.astype(jnp.int32))      # inclusive counts
     vid_flat = cum_used - 1                                  # id of each used corner
-    id_grid = vid_flat.reshape(Z + 1, Y + 1, X + 1)
 
-    tri_list = []
-    tri_mask = []
-    for d in range(6):
-        cids = [id_grid[oz:oz + Z, oy:oy + Y, ox:ox + X].reshape(-1)
-                for (oz, oy, ox) in _CORNERS[d]]
-        c0, c1, c2, c3 = cids
-        e = exposed[d].reshape(-1)
-        tri_list.append(jnp.stack([c0, c1, c2], axis=-1))
-        tri_list.append(jnp.stack([c0, c2, c3], axis=-1))
-        tri_mask.append(e)
-        tri_mask.append(e)
-    cand = jnp.concatenate(tri_list, axis=0)          # [6*2*Z*Y*X, 3]
-    cand_mask = jnp.concatenate(tri_mask, axis=0)
+    # candidate layout: direction-major, two triangle halves per direction,
+    # raster voxel order inside — [6 * 2 * Z*Y*X] (matches the reference's
+    # direction loop at layers.py:420-427 with the stable batch order)
+    e_all = jnp.stack([e.reshape(-1) for e in exposed])      # [6, ZYX]
+    cand_mask = jnp.repeat(e_all, 2, axis=0).reshape(-1)     # [12 * ZYX]
     cum_faces = jnp.cumsum(cand_mask.astype(jnp.int32))
-    return cum_used, cand, cum_faces
+    return cum_used, vid_flat, cum_faces
 
 
 def _corner_coords(Z: int, Y: int, X: int) -> jnp.ndarray:
@@ -195,7 +191,8 @@ def cubify(grid: jnp.ndarray, threshold: float = 0.5, *,
       steps never abort mid-jit; callers can inspect ``mesh.num_verts() == 0``.
     """
     B, Z, Y, X = grid.shape
-    cum_used, cand, cum_faces = jax.vmap(partial(_cubify_raw, threshold=threshold))(grid)
+    cum_used, vid_flat, cum_faces = jax.vmap(
+        partial(_cubify_raw, threshold=threshold))(grid)
 
     # ---- vertices: compact used corners (coords shared across the batch) -------
     coords = _corner_coords(Z, Y, X)
@@ -203,9 +200,34 @@ def cubify(grid: jnp.ndarray, threshold: float = 0.5, *,
     verts = coords[v_src.reshape(-1)].reshape(B, vert_capacity, 3)
     verts = jnp.where(verts_mask[..., None], verts, 0.0)
 
-    # ---- faces: compact valid candidate triangles -------------------------------
+    # ---- faces: compact valid candidate triangles --------------------------------
+    # decode each selected slot back to (direction, triangle-half, voxel) and
+    # gather the 3 corner vertex-ids from the id grid — the candidate array itself
+    # is never materialised
     f_src, faces_mask, n_faces = _compact(cum_faces, face_capacity)
-    faces = batched_gather_rows(cand, f_src)
+    ZYX = Z * Y * X
+    block = f_src // ZYX                                   # [B, Fcap] in [0, 12)
+    v = f_src % ZYX
+    z = v // (Y * X)
+    y = (v // X) % Y
+    x = v % X
+    # per-(direction, half) corner tables: half 0 -> (c0,c1,c2), half 1 -> (c0,c2,c3)
+    import numpy as _np
+    tbl = _np.zeros((12, 3, 3), dtype=_np.int32)           # [block, k, (oz,oy,ox)]
+    for d in range(6):
+        cs = _CORNERS[d]
+        tbl[2 * d, :, :] = _np.asarray([cs[0], cs[1], cs[2]])
+        tbl[2 * d + 1, :, :] = _np.asarray([cs[0], cs[2], cs[3]])
+    OZ = jnp.asarray(tbl[:, :, 0].reshape(-1))
+    OY = jnp.asarray(tbl[:, :, 1].reshape(-1))
+    OX = jnp.asarray(tbl[:, :, 2].reshape(-1))
+    corner_ids = []
+    for k in range(3):
+        key = block * 3 + k
+        oz, oy, ox = OZ[key], OY[key], OX[key]
+        lat = ((z + oz) * ((Y + 1) * (X + 1)) + (y + oy) * (X + 1) + (x + ox))
+        corner_ids.append(batched_gather_rows(vid_flat[..., None], lat)[..., 0])
+    faces = jnp.stack(corner_ids, axis=-1)
     face_valid = faces_mask & jnp.all(faces < vert_capacity, axis=-1)
     faces = jnp.where(face_valid[..., None], faces, 0)
 
