@@ -74,5 +74,6 @@ class TrainConfig:
     # Pix3D LR schedule (reference: utils/train_utils.py:161-168): linear warmup
     # 0.002 -> 0.02 over first 1k iters, /10 at 8k and 10k.
     pix3d_schedule: bool = False
+    grad_clip: float = 0.0            # global-norm clip; 0 disables
     seed: int = 0
     num_devices: Optional[int] = None  # None = all local devices

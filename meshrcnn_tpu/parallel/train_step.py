@@ -50,14 +50,17 @@ def make_optimizer(config: TrainConfig, params) -> optax.GradientTransformation:
     else:
         lr = config.lr
 
+    parts = []
+    if config.grad_clip and config.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(config.grad_clip))
+    parts.append(optax.add_decayed_weights(config.weight_decay))
     if config.optimizer.lower() == "adam":
-        base = optax.chain(optax.add_decayed_weights(config.weight_decay),
-                           optax.adam(lr))
+        parts.append(optax.adam(lr))
     elif config.optimizer.lower() == "sgd":
-        base = optax.chain(optax.add_decayed_weights(config.weight_decay),
-                           optax.sgd(lr))
+        parts.append(optax.sgd(lr))
     else:
         raise ValueError(f"unknown optimizer {config.optimizer}")
+    base = optax.chain(*parts)
 
     if not config.train_backbone:
         def label(tree):

@@ -68,6 +68,12 @@ parser.add_argument("--img_size", type=int, default=224,
 parser.add_argument("--rpn_pre_nms_top_n", type=int, default=1000)
 parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
 parser.add_argument("--roi_batch_size", type=int, default=512)
+parser.add_argument("--grad_clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 disables; useful for "
+                         "scratch-init Pix3D where the reference assumed COCO init)")
+parser.add_argument("--no_pix3d_schedule", default=False, action="store_true",
+                    help="use --lr directly instead of the reference's Pix3D "
+                         "warmup/step schedule")
 parser.add_argument("--multihost", default=False, action="store_true",
                     help="initialise jax.distributed for multi-host training "
                          "(grads pmean over ICI+DCN through the same dp axis)")
@@ -115,7 +121,8 @@ def main():
                          batch_size=options.batchSize, epochs=options.nEpoch,
                          train_backbone=options.train_backbone,
                          point_cloud_size=options.point_cloud_size,
-                         loss_weights=weights, pix3d_schedule=is_pix3d)
+                         loss_weights=weights, grad_clip=options.grad_clip,
+                         pix3d_schedule=is_pix3d and not options.no_pix3d_schedule)
 
     num_voxels = 24 if is_pix3d else 48
     if options.dataRoot == "synthetic":
