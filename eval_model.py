@@ -21,6 +21,8 @@ parser.add_argument("--model_path", type=str, default="",
 parser.add_argument("--num_refinement_stages", "-nr", type=int, default=3)
 parser.add_argument("--threshold", "-th", type=float, default=0.2)
 parser.add_argument("--residual", default=False, action="store_true")
+parser.add_argument("--voxel_only", default=False, action="store_true",
+                    help="evaluate only the voxel branch (matches --voxel_only training)")
 parser.add_argument("--test_ratio", type=float, default=1.0,
                     help="ratio of samples to test")
 parser.add_argument("-c", "--classes", type=str, default=None)
@@ -92,6 +94,7 @@ def main():
                               cubify_threshold=options.threshold,
                               vertex_feature_dim=options.featDim,
                               num_refinement_stages=options.num_refinement_stages,
+                              voxel_only=options.voxel_only,
                               vert_capacity=capacities.verts,
                               face_capacity=capacities.faces,
                               edge_capacity=capacities.edges)
@@ -105,7 +108,8 @@ def main():
     eval_step = make_eval_step(model)
     validate_fn = validate_pix3d if is_pix3d else validate
     results = validate_fn(0, eval_step, state, loader, config,
-                          num_classes=num_classes, rng=rng)
+                          num_classes=num_classes, rng=rng,
+                          voxel_only=options.voxel_only)
     safe_print({k: v for k, v in results.items() if k != "confusion"})
 
     os.makedirs(options.output_path, exist_ok=True)
