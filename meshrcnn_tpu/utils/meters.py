@@ -79,6 +79,15 @@ def basic_metrics() -> Dict[str, AverageMeter]:
             "data_loading": AverageMeter("data_loading", ":6.3f")}
 
 
+def maskrcnn_metrics() -> Dict[str, AverageMeter]:
+    """reference: train_utils.py:94-97 — the four R-CNN losses + rpn box."""
+    meters = basic_metrics()
+    for k in ("loss_classifier", "loss_box_reg", "loss_mask",
+              "loss_objectness", "loss_rpn_box_reg"):
+        meters[k] = AverageMeter(k, ":.4f")
+    return meters
+
+
 def gcn_metrics(voxel_only: bool = False) -> Dict[str, AverageMeter]:
     """reference: train_utils.py:99-107."""
     meters = basic_metrics()
