@@ -212,17 +212,19 @@ class RoIHeads(nn.Module):
                  .reshape(B, R * (C - 1)))
         valid = valid & (fg_scores > self.score_thresh) & small_box_mask(fg_boxes)
 
-        def per_image(bx, sc, lb, vd, feats):
+        def per_image(bx, sc, lb, vd):
             order, keep = batched_nms_mask(bx, sc, lb, vd, self.nms_thresh,
                                            self.detections_per_img)
             safe = jnp.where(order >= 0, order, 0)
-            # feature_indices = box_idx // (num_classes - 1) (layers.py:683)
-            feat_idx = safe // (C - 1)
-            return (bx[safe], lb[safe], jnp.where(keep, sc[safe], 0.0), keep,
-                    feats[feat_idx])
+            return bx[safe], lb[safe], jnp.where(keep, sc[safe], 0.0), keep, safe
 
-        b, l, s, k, f = jax.vmap(per_image)(fg_boxes, fg_scores, labels, valid,
-                                            box_feats)
+        b, l, s, k, safe = jax.vmap(per_image)(fg_boxes, fg_scores, labels, valid)
+        # feature_indices = box_idx // (num_classes - 1) (layers.py:683); gathered
+        # flat (a vmapped gather of [12,12,256] rows hits the XLA-TPU slow path)
+        from meshrcnn_tpu.ops.gather import batched_gather_rows
+        feat_idx = safe // (C - 1)
+        f = batched_gather_rows(box_feats.reshape(B, R, -1), feat_idx).reshape(
+            (B, self.detections_per_img) + box_feats.shape[2:])
         return Detections(boxes=b, labels=jnp.where(k, l, 0), scores=s, valid=k,
                           roi_features=f)
 
