@@ -68,56 +68,6 @@ class MeshBatch:
         return self.replace(verts=verts)
 
 
-def edges_from_faces(faces: jnp.ndarray, faces_mask: jnp.ndarray,
-                     edge_capacity: int) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Unique undirected edges of a single padded triangle list.
-
-    TPU-native replacement for the reference's ``Tensor.unique(dim=1)`` COO adjacency
-    construction (reference: meshRCNN/layers.py:469-478): canonicalise each triangle
-    edge as (min, max), lexicographically sort the fixed-size edge list, mark rows
-    that differ from their predecessor, and compact them to the front of a
-    fixed-capacity buffer with a cumsum scatter — no dynamic shapes anywhere.
-
-    Args:
-      faces: [F, 3] int32, padded rows arbitrary (masked out).
-      faces_mask: [F] bool.
-      edge_capacity: static capacity E of the output buffer.
-
-    Returns:
-      edges [E, 2] int32 (padded with zeros), edges_mask [E] bool,
-      overflow [] int32 (number of unique edges that did not fit).
-    """
-    f = faces.astype(jnp.int32)
-    # 3 undirected edges per triangle: (v0,v1), (v1,v2), (v0,v2).
-    a = jnp.concatenate([f[:, 0], f[:, 1], f[:, 0]])
-    b = jnp.concatenate([f[:, 1], f[:, 2], f[:, 2]])
-    lo = jnp.minimum(a, b)
-    hi = jnp.maximum(a, b)
-    mask3 = jnp.concatenate([faces_mask, faces_mask, faces_mask])
-    # Push padded rows to the end of the sort order with a sentinel key.
-    big = jnp.int32(2**31 - 1)
-    lo = jnp.where(mask3, lo, big)
-    hi = jnp.where(mask3, hi, big)
-    lo_s, hi_s = jax.lax.sort((lo, hi), num_keys=2)
-    valid = lo_s < big
-    first = jnp.ones_like(lo_s, dtype=bool).at[1:].set(
-        (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1]))
-    keep = valid & first
-    cum_keep = jnp.cumsum(keep.astype(jnp.int32))
-    n_unique = cum_keep[-1]
-    # gather-based compaction: slot s takes the s-th kept entry via binary search
-    # over the inclusive cumsum (XLA scatter is write-serialised on TPU)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (edge_capacity, 1), 0)[:, 0]
-    src = jnp.searchsorted(cum_keep, idx + 1, side="left")
-    src = jnp.minimum(src, lo_s.shape[0] - 1)
-    edges = jnp.stack([lo_s[src], hi_s[src]], axis=-1)
-    count = jnp.minimum(n_unique, edge_capacity)
-    edges_mask = idx < count
-    edges = jnp.where(edges_mask[:, None], edges, 0)
-    overflow = jnp.maximum(n_unique - edge_capacity, 0)
-    return edges, edges_mask, overflow
-
-
 def normalize_verts(verts: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Center vertices and scale into the unit ball if they fall outside it.
 
