@@ -26,10 +26,30 @@ from meshrcnn_tpu.utils.metrics import f_score
 
 
 def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, AverageMeter],
-                rng: jax.Array, print_freq: int = 10, shard_fn: Optional[Callable] = None):
-    """One training epoch (reference: train_utils.py:174-250)."""
+                rng: jax.Array, print_freq: int = 10, shard_fn: Optional[Callable] = None,
+                multi_step_fn: Optional[Callable] = None, steps_per_dispatch: int = 1):
+    """One training epoch (reference: train_utils.py:174-250).
+
+    With ``multi_step_fn`` + ``steps_per_dispatch`` > 1, batches are staged into
+    groups and scanned on-device in one dispatch each (amortising host round-trip
+    latency); leftover batches at the epoch tail run through the single step.
+    """
     progress = ProgressMeter(len(loader), meters.values(), prefix=f"Epoch: [{epoch}]")
     end = time.time()
+
+    def record(metrics, n, i):
+        nonlocal end
+        metrics = jax.device_get(metrics)
+        for k, v in metrics.items():
+            if k not in meters:
+                meters[k] = AverageMeter(k, ":.4f")
+            meters[k].update(float(v), n=n)
+        meters["batch_time"].update(time.time() - end)
+        end = time.time()
+        if (i // max(steps_per_dispatch, 1)) % print_freq == 0:
+            progress.display(i)
+
+    group = []
     for i, batch in enumerate(loader):
         meters["data_loading"].update(time.time() - end)
         batch = jax.tree_util.tree_map(
@@ -37,16 +57,22 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
         if shard_fn is not None:
             batch = shard_fn(batch)
         key = jax.random.fold_in(rng, epoch * 100000 + i)
+        if multi_step_fn is None or steps_per_dispatch <= 1:
+            state, metrics = step_fn(state, batch, key)
+            record(metrics, 1, i)
+            continue
+        group.append(batch)
+        if len(group) == steps_per_dispatch:
+            from meshrcnn_tpu.parallel.train_step import stack_batches
+            state, metrics = multi_step_fn(state, stack_batches(group), key)
+            record(metrics, len(group), i)
+            group = []
+    # epoch tail: run leftovers one-by-one through the single step
+    for j, batch in enumerate(group):
+        key = jax.random.fold_in(rng, epoch * 100000 + 90000 + j)
         state, metrics = step_fn(state, batch, key)
-        metrics = jax.device_get(metrics)
-        for k, v in metrics.items():
-            if k not in meters:
-                meters[k] = AverageMeter(k, ":.4f")
-            meters[k].update(float(v))
-        meters["batch_time"].update(time.time() - end)
-        end = time.time()
-        if i % print_freq == 0:
-            progress.display(i)
+        record(metrics, 1, j)
+
     for m in meters.values():
         m.epoch_end()
     return state, meters

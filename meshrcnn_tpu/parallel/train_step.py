@@ -215,6 +215,38 @@ def make_dp_train_step(model, config: TrainConfig, mesh: Mesh) -> Callable:
     return jax.jit(sharded)
 
 
+def make_multi_step(model, config: TrainConfig, n_steps: int) -> Callable:
+    """Run ``n_steps`` training steps in ONE device dispatch via lax.scan.
+
+    The tunneled chip adds ~5 ms of host round-trip latency per dispatch; staging
+    a group of batches (stacked on a new leading axis) and scanning over them
+    amortises it — the same trick bench.py uses for measurement, applied to real
+    training. Returns (new_state, metrics averaged over the group).
+    """
+    step = make_train_step(model, config)
+
+    @jax.jit
+    def multi(state: TrainState, batches: Batch, key: jax.Array):
+        keys = jax.random.split(key, n_steps)
+
+        def body(s, xs):
+            b, k = xs
+            s2, metrics = step(s, b, k)
+            return s2, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree_util.tree_map(lambda x: x.mean(0), metrics)
+
+    return multi
+
+
+def stack_batches(batches) -> Batch:
+    """Stack a list of same-shape Batch pytrees on a new leading axis (host-side)."""
+    import numpy as np
+
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
 def make_eval_step(model) -> Callable:
     """Jitted eval forward (no targets), reference eval-mode semantics."""
     @jax.jit
