@@ -50,6 +50,7 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
             progress.display(i)
 
     group = []
+    i = -1
     for i, batch in enumerate(loader):
         meters["data_loading"].update(time.time() - end)
         batch = jax.tree_util.tree_map(
@@ -67,11 +68,12 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
             state, metrics = multi_step_fn(state, stack_batches(group), key)
             record(metrics, len(group), i)
             group = []
-    # epoch tail: run leftovers one-by-one through the single step
+    # epoch tail: run leftovers one-by-one through the single step, keeping the
+    # epoch-global batch index for the progress display
     for j, batch in enumerate(group):
         key = jax.random.fold_in(rng, epoch * 100000 + 90000 + j)
         state, metrics = step_fn(state, batch, key)
-        record(metrics, 1, j)
+        record(metrics, 1, i - len(group) + 1 + j)
 
     for m in meters.values():
         m.epoch_end()

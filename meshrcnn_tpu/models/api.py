@@ -27,7 +27,8 @@ from typing import Optional
 import numpy as np
 
 from meshrcnn_tpu.core.batch import Batch
-from meshrcnn_tpu.core.config import LossWeights, TrainConfig
+from meshrcnn_tpu.core.config import (CapacityConfig, LossWeights, Pix3DConfig,
+                                      ShapeNetConfig, TrainConfig)
 
 
 def to_ragged(stage_verts, mesh, mesh_valid=None):
@@ -82,21 +83,31 @@ class ShapeNetAPI(_BaseAPI):
                  voxel_out_channels: int = 48,
                  vert_capacity: int = 8192, face_capacity: int = 16384,
                  edge_capacity: int = 32768, config: Optional[TrainConfig] = None,
-                 seed: int = 0):
+                 seed: int = 0, model_config: Optional[ShapeNetConfig] = None):
         super().__init__()
         import jax
         from meshrcnn_tpu.models.shapenet import ShapeNetModel
         from meshrcnn_tpu.parallel.train_step import (create_train_state,
                                                       make_eval_step)
 
-        self.model = ShapeNetModel(
+        cfg = model_config or ShapeNetConfig(
             num_classes=num_classes, residual=residual,
-            voxel_out_channels=voxel_out_channels,
             cubify_threshold=cubify_threshold,
             vertex_feature_dim=vertex_feature_dim,
             num_refinement_stages=num_refinement_stages, voxel_only=voxel_only,
-            vert_capacity=vert_capacity, face_capacity=face_capacity,
-            edge_capacity=edge_capacity)
+            num_voxels=voxel_out_channels,
+            capacities=CapacityConfig(verts=vert_capacity, faces=face_capacity,
+                                      edges=edge_capacity))
+        self.model_config = cfg
+        self.model = ShapeNetModel(
+            num_classes=cfg.num_classes, residual=cfg.residual,
+            voxel_out_channels=cfg.num_voxels,
+            cubify_threshold=cfg.cubify_threshold,
+            vertex_feature_dim=cfg.vertex_feature_dim,
+            num_refinement_stages=cfg.num_refinement_stages,
+            voxel_only=cfg.voxel_only,
+            vert_capacity=cfg.capacities.verts, face_capacity=cfg.capacities.faces,
+            edge_capacity=cfg.capacities.edges)
         self.config = config or TrainConfig(loss_weights=LossWeights())
         self._rng = jax.random.PRNGKey(seed)
         self.state = None
@@ -110,8 +121,11 @@ class ShapeNetAPI(_BaseAPI):
                                                   self._rng, images)
 
     def load(self, path: str):
+        # usable before any forward (reference allows load_dict anytime,
+        # train_utils.py:19-30): lazily init state on a dummy image — parameter
+        # shapes are channel-shaped, not spatial, so a small image suffices
         from meshrcnn_tpu.utils.checkpoint import load_state
-        assert self.state is not None, "call once on data (or init) before load"
+        self._ensure_state(np.zeros((1, 64, 64, 3), np.float32))
         self.state = load_state(path, self.state)
         return self
 
@@ -154,19 +168,30 @@ class Pix3DAPI(_BaseAPI):
                  num_classes: int = 10, detections_per_img: int = 3,
                  vert_capacity: int = 4096, face_capacity: int = 8192,
                  edge_capacity: int = 16384, config: Optional[TrainConfig] = None,
-                 seed: int = 0, **model_kwargs):
+                 seed: int = 0, model_config: Optional[Pix3DConfig] = None,
+                 **model_kwargs):
         super().__init__()
         import jax
         from meshrcnn_tpu.models.pix3d import Pix3DModel
         from meshrcnn_tpu.parallel.train_step import (create_train_state,
                                                       make_eval_step)
 
-        self.model = Pix3DModel(
+        cfg = model_config or Pix3DConfig(
             num_classes=num_classes, cubify_threshold=cubify_threshold,
             vertex_feature_dim=vertex_feature_dim,
             num_refinement_stages=num_refinement_stages, voxel_only=voxel_only,
-            detections_per_img=detections_per_img, vert_capacity=vert_capacity,
-            face_capacity=face_capacity, edge_capacity=edge_capacity,
+            detections_per_img=detections_per_img,
+            capacities=CapacityConfig(verts=vert_capacity, faces=face_capacity,
+                                      edges=edge_capacity))
+        self.model_config = cfg
+        self.model = Pix3DModel(
+            num_classes=cfg.num_classes, cubify_threshold=cfg.cubify_threshold,
+            vertex_feature_dim=cfg.vertex_feature_dim,
+            num_refinement_stages=cfg.num_refinement_stages,
+            voxel_only=cfg.voxel_only,
+            detections_per_img=cfg.detections_per_img,
+            vert_capacity=cfg.capacities.verts, face_capacity=cfg.capacities.faces,
+            edge_capacity=cfg.capacities.edges,
             **model_kwargs)
         self.config = config or TrainConfig(pix3d_schedule=True, optimizer="sgd",
                                             train_backbone=True)
@@ -182,8 +207,9 @@ class Pix3DAPI(_BaseAPI):
                                                   self._rng, images)
 
     def load(self, path: str):
+        # see ShapeNetAPI.load — usable before any forward
         from meshrcnn_tpu.utils.checkpoint import load_state
-        assert self.state is not None
+        self._ensure_state(np.zeros((1, 64, 64, 3), np.float32))
         self.state = load_state(path, self.state)
         return self
 

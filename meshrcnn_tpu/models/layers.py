@@ -174,8 +174,17 @@ class VoxelBranch(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from meshrcnn_tpu.utils.shapes import conv_output, convT_output
+
+        h, w = int(x.shape[1]), int(x.shape[2])
         x = nn.Conv(self.hidden_channels, (3, 3), padding=1, name="conv0")(x)
         x = nn.Conv(self.hidden_channels, (3, 3), padding=1, name="conv1")(x)
+        assert (int(x.shape[1]), int(x.shape[2])) == conv_output(
+            *conv_output(h, w, kernel=3, padding=1), kernel=3, padding=1)
         x = nn.ConvTranspose(self.hidden_channels, (2, 2), strides=(2, 2), name="deconv")(x)
+        # x2 upsample: the N x C x V/2 x V/2 -> N x out x V x V contract
+        # (reference: layers.py:487-506, sized with utils.py:24-38 convT_output)
+        assert (int(x.shape[1]), int(x.shape[2])) == convT_output(
+            h, w, kernel=2, stride=2)
         x = nn.Conv(self.out_channels, (1, 1), name="conv2")(x)
         return nn.sigmoid(x)

@@ -37,3 +37,42 @@ def load_state(path: str, target):
     """Restore a TrainState saved by save_state into the ``target`` structure."""
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(os.path.abspath(path), target=jax.device_get(target))
+
+
+def load_state_partial(path: str, target):
+    """Restore params/batch_stats leaves that exist in both trees; fresh opt state.
+
+    Supports the voxel-only -> full-model curriculum (reference: train.py:34-35
+    --voxel_only warm start): a voxel-only checkpoint's param tree is a strict
+    subset of the full model's (the refinement stages were never created), so a
+    strict structural restore cannot apply. Matching (by path + shape) leaves are
+    merged into ``target``; everything else — including optimizer moments, which
+    mirror the new param tree — keeps its fresh initialization.
+    """
+    import numpy as np
+
+    ckpt = ocp.PyTreeCheckpointer()
+    raw = ckpt.restore(os.path.abspath(path))
+
+    def flatten(tree, prefix=()):
+        out = {}
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                out.update(flatten(v, prefix + (k,)))
+        else:
+            out[prefix] = tree
+        return out
+
+    def merge(tgt, src, prefix=()):
+        if not isinstance(tgt, dict):
+            if prefix in src and np.shape(src[prefix]) == np.shape(tgt):
+                return src[prefix]
+            return tgt
+        return {k: merge(v, src, prefix + (k,)) for k, v in tgt.items()}
+
+    target = jax.device_get(target)
+    merged_params = merge(target.params, flatten(raw.get("params", {})))
+    merged_stats = merge(target.batch_stats, flatten(raw.get("batch_stats", {})))
+    n_loaded = sum(1 for p in flatten(raw.get("params", {})) if p in flatten(target.params))
+    n_total = len(flatten(target.params))
+    return target.replace(params=merged_params, batch_stats=merged_stats), (n_loaded, n_total)

@@ -15,12 +15,12 @@ from meshrcnn_tpu.ops.sampling import batched_sample_points, face_areas, sample_
 from meshrcnn_tpu.ops.vert_align import vert_align
 
 
+from meshrcnn_tpu.utils.shapes import dummy as _np_dummy
+
+
 def dummy(*dims):
     """Deterministic arange tensor factory (reference: meshRCNN/utils.py:103-108)."""
-    s = 1
-    for d in dims:
-        s *= d
-    return jnp.arange(s, dtype=jnp.float32).reshape(*dims)
+    return jnp.asarray(_np_dummy(*dims))
 
 
 # ---------------------------------------------------------------- distances

@@ -172,8 +172,16 @@ def main():
     rng = jax.random.PRNGKey(config.seed)
     state = create_train_state(model, config, rng, np.asarray(sample_batch.images))
     if options.model_path:
-        state = load_state(options.model_path, state)
-        safe_print(f"loaded checkpoint {options.model_path}")
+        try:
+            state = load_state(options.model_path, state)
+            safe_print(f"loaded checkpoint {options.model_path}")
+        except Exception:
+            # structure mismatch (e.g. voxel-only warm-start checkpoint resumed
+            # into the full model): merge matching subtrees, fresh opt state
+            from meshrcnn_tpu.utils.checkpoint import load_state_partial
+            state, (n_loaded, n_total) = load_state_partial(options.model_path, state)
+            safe_print(f"partially loaded checkpoint {options.model_path} "
+                       f"({n_loaded}/{n_total} param leaves)")
     elif options.backbone_path:
         if options.backbone_path.endswith((".pth", ".pt")):
             # torchvision zoo checkpoint -> converted flax params

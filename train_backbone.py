@@ -116,7 +116,7 @@ def train_pix3d_backbone(options):
     from meshrcnn_tpu.data.datasets import SyntheticDataset, dataLoader, pix3dDataset
     from meshrcnn_tpu.models.pix3d import Pix3DMaskRCNN
     from meshrcnn_tpu.utils.checkpoint import checkpoint_dir, save_state
-    from meshrcnn_tpu.utils.meters import AverageMeter, safe_print, save_stats
+    from meshrcnn_tpu.utils.meters import (AverageMeter, maskrcnn_metrics, safe_print, save_stats)
 
     classes = options.classes.split(",") if options.classes else None
     img_size = 224
@@ -162,13 +162,12 @@ def train_pix3d_backbone(options):
                 total, losses)
 
     ckpt_dir = checkpoint_dir(options.checkpoint_root, "Pix3D", kind="backbone")
-    meters = {k: AverageMeter(k, ":.4f") for k in
-              ("loss", "loss_objectness", "loss_rpn_box_reg", "loss_classifier",
-               "loss_box_reg", "loss_mask")}
-    meters["batch_time"] = AverageMeter("batch_time", ":6.3f")
+    meters = maskrcnn_metrics()  # reference: train_utils.py:94-97
+    meters["loss"] = AverageMeter("loss", ":.4f")
     for epoch in range(options.nEpoch):
         end = time.time()
         for i, batch in enumerate(loader):
+            meters["data_loading"].update(time.time() - end)
             key = jax.random.fold_in(rng, epoch * 100000 + i)
             params, batch_stats, opt_state, total, losses = step(
                 params, batch_stats, opt_state, jnp.asarray(batch.images),
