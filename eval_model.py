@@ -37,6 +37,9 @@ parser.add_argument("--point_cloud_size", type=int, default=10000)
 parser.add_argument("--img_size", type=int, default=224,
                     help="fixed Pix3D input size")
 parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
+parser.add_argument("--num_devices", type=int, default=None,
+                    help="dp mesh size for data-parallel eval "
+                         "(default: 1; batchSize must be divisible by it)")
 
 
 def main():
@@ -105,7 +108,17 @@ def main():
         state = load_state(options.model_path, state)
         safe_print(f"loaded checkpoint {options.model_path}")
 
-    eval_step = make_eval_step(model)
+    n_dev = options.num_devices or 1
+    if n_dev > 1:
+        # data-parallel eval: batch shards over the dp mesh, outputs merge as
+        # batch-sharded pytrees (reference: dataParallel/gather.py:66-92)
+        from jax.sharding import Mesh
+        from meshrcnn_tpu.parallel.train_step import make_dp_eval_step
+        assert options.batchSize % n_dev == 0, "batchSize must divide over devices"
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+        eval_step = make_dp_eval_step(model, mesh)
+    else:
+        eval_step = make_eval_step(model)
     validate_fn = validate_pix3d if is_pix3d else validate
     results = validate_fn(0, eval_step, state, loader, config,
                           num_classes=num_classes, rng=rng,

@@ -75,5 +75,9 @@ class TrainConfig:
     # 0.002 -> 0.02 over first 1k iters, /10 at 8k and 10k.
     pix3d_schedule: bool = False
     grad_clip: float = 0.0            # global-norm clip; 0 disables
+    # skip the param/opt/BN update when the loss or any gradient is non-finite,
+    # reporting it via the grads_finite metric (the jit-safe analog of the
+    # reference's try/except batch skip, train_utils.py:202-205)
+    skip_nonfinite: bool = True
     seed: int = 0
     num_devices: Optional[int] = None  # None = all local devices

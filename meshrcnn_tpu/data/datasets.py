@@ -79,6 +79,7 @@ class pix3dDataset:
     category_idx = PIX3D_CLASSES
 
     def __init__(self, dataset_path: str, classes: Optional[Sequence[str]] = None):
+        import PIL.Image
         with open(os.path.join(dataset_path, "pix3d.json")) as f:
             manifest = json.load(f)
         self.root = dataset_path
@@ -86,8 +87,19 @@ class pix3dDataset:
         for p in manifest:
             if classes is not None and p["category"] not in classes:
                 continue
-            # the reference filters non-3-channel images at scan time (111-116);
-            # we defer to load time but keep rgb-only records via the img_size field
+            # Scan-time non-RGB filter (reference: dataloader.py:111-116 decodes
+            # each image and keeps ndim==3 / 3-channel ones, skipping unreadable
+            # files). The PIL mode check is decode-free (header only) and keeps
+            # exactly the same set: mpimg yields a 3-channel array iff the file
+            # is mode "RGB" (grayscale -> 2-D, RGBA/palette/CMYK -> 4-channel).
+            # Matching the filter matters: the seed-42 split indexes the
+            # filtered list (dataloader.py:303-304).
+            try:
+                with PIL.Image.open(os.path.join(self.root, p["img"])) as img:
+                    if img.mode != "RGB":
+                        continue
+            except Exception:
+                continue
             self.records.append(p)
 
     def __len__(self) -> int:

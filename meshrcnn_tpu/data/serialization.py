@@ -86,7 +86,8 @@ def load_mesh(filename: str) -> Mesh:
                 for i in range(len(idx) - 2):
                     triangles.append(idx[i:i + 3])
             elif parts[0] == "v":
-                vertices.append([float(c) for c in parts[1:4]])
+                # filter empty tokens (runs of spaces, e.g. "v  1.9 0.1 0.5")
+                vertices.append([float(c) for c in parts[1:] if c][:3])
     vertices = np.asarray(vertices, dtype=np.float32)
     triangles = np.asarray(triangles, dtype=np.int64)
     if triangles.size and triangles.min() == 1:

@@ -151,11 +151,15 @@ def smallest_eigenvector(S: jnp.ndarray) -> jnp.ndarray:
     pval = jnp.sqrt(jnp.maximum(p2 / 6.0, eps))
     B = A / pval[..., None, None]
     detB = jnp.linalg.det(B)
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    # clip strictly inside (-1, 1): arccos' = -1/sqrt(1-r^2) is infinite at the
+    # boundary, which isotropic neighbourhoods (detB/2 = +-1) hit exactly — the
+    # NaN then rides the backward pass even into where-masked rows.
+    r = jnp.clip(detB / 2.0, -1.0 + 1e-6, 1.0 - 1e-6)
     phi = jnp.arccos(r) / 3.0
     # eigenvalues: eig1 >= eig2 >= eig3
     eig1 = qm + 2.0 * pval * jnp.cos(phi)
     eig3 = qm + 2.0 * pval * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    eig2 = 3.0 * qm - eig1 - eig3
 
     # eigenvector for eig3: null space of (S - eig3 I); use the largest cross
     # product of two rows as the most numerically independent choice.
@@ -172,11 +176,20 @@ def smallest_eigenvector(S: jnp.ndarray) -> jnp.ndarray:
     vecs = jnp.stack([c01, c12, c02], axis=-2)          # [..., 3 choices, 3]
     v = jnp.take_along_axis(vecs, choice[..., None, None].astype(jnp.int32)
                             .repeat(3, axis=-1), axis=-2)[..., 0, :]
-    norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
-    degenerate = (norm[..., 0] < 1e-9) | (p2 < 1e-18)
+    norm2 = jnp.sum(v * v, axis=-1)
+    # A repeated smallest eigenvalue makes the eigenvector ill-defined (its true
+    # gradient is unbounded): treat small-relative-gap neighbourhoods as
+    # degenerate along with near-zero scatter and vanishing cross products.
+    # Lattice-regular and duplicated sampled points produce these constantly
+    # (cubify vertices ARE lattice points), so this path is hot, not exotic.
+    scale = jnp.maximum(jnp.abs(eig1), 1e-6)
+    degenerate = ((eig2 - eig3) < 1e-4 * scale) | (norm2 < 1e-12) | (p2 < 1e-18)
     fallback = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype=S.dtype), v.shape)
-    v = jnp.where(degenerate[..., None], fallback, v / jnp.maximum(norm, 1e-12))
-    return v
+    # substitute BEFORE normalising: where() does not stop NaN gradients flowing
+    # from the untaken branch, so the sqrt must never see a zero norm.
+    v = jnp.where(degenerate[..., None], fallback, v)
+    norm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True))
+    return v / jnp.maximum(norm, 1e-12)
 
 
 def batched_compute_normals(pts: jnp.ndarray, k: int = 10,

@@ -117,11 +117,29 @@ def shapenet_loss_fn(model, config: TrainConfig, params, batch_stats,
             point_cloud_size=config.point_cloud_size,
             num_neighbours=config.normal_k, tile=config.distance_tile)
         metrics.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
-        total = total + w.chamfer * chamfer + w.normal * normal + w.edge * edge
+        total = _weighted_mesh_total(total, w, chamfer, normal, edge)
         metrics["overflow"] = (out.overflow.verts + out.overflow.faces
                                + out.overflow.edges).sum().astype(jnp.float32)
     metrics["loss"] = total
     return total, (metrics, updates.get("batch_stats", batch_stats))
+
+
+def _weighted_mesh_total(total, w, chamfer, normal, edge):
+    """Add weighted mesh-loss terms, statically skipping zero weights.
+
+    ``total + 0.0 * term`` is NOT a no-op under reverse AD: the zero scales the
+    term's cotangent, and 0 x NaN = NaN — so a NaN in (say) the normal loss's
+    eigensolver gradient poisons every parameter even when the recipe sets
+    normal=0 (the reference's ShapeNet recipe does exactly that, README.md:77).
+    Weights are static config floats, so drop the term from the graph instead.
+    """
+    if w.chamfer:
+        total = total + w.chamfer * chamfer
+    if w.normal:
+        total = total + w.normal * normal
+    if w.edge:
+        total = total + w.edge * edge
+    return total
 
 
 def pix3d_loss_fn(model, config: TrainConfig, params, batch_stats,
@@ -157,7 +175,7 @@ def pix3d_loss_fn(model, config: TrainConfig, params, batch_stats,
             point_cloud_size=config.point_cloud_size,
             num_neighbours=config.normal_k, tile=config.distance_tile)
         metrics.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
-        total = total + w.chamfer * chamfer + w.normal * normal + w.edge * edge
+        total = _weighted_mesh_total(total, w, chamfer, normal, edge)
         metrics["overflow"] = (out.overflow.verts + out.overflow.faces
                                + out.overflow.edges).sum().astype(jnp.float32)
     metrics["loss"] = total
@@ -186,13 +204,36 @@ def make_train_step(model, config: TrainConfig,
         grad_fn = jax.value_and_grad(
             lambda p: loss_fn(model, config, p, state.batch_stats, batch, key),
             has_aux=True)
-        (_, (metrics, new_bs)), grads = grad_fn(state.params)
+        (loss, (metrics, new_bs)), grads = grad_fn(state.params)
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             metrics = jax.lax.pmean(metrics, axis_name)
             new_bs = jax.lax.pmean(new_bs, axis_name)
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+            loss = jax.lax.pmean(loss, axis_name)
+
+        if config.skip_nonfinite:
+            # The reference swallows bad batches with try/except
+            # (train_utils.py:202-205); the jit-compiled analog: if any gradient
+            # (or the loss) is non-finite, zero the gradients and keep the old
+            # params / opt-state / BN stats, reporting it via the grads_finite
+            # metric instead of silently. One poisoned step otherwise NaNs the
+            # refine stages (and BN running stats) for the rest of the run.
+            ok = jnp.isfinite(loss)
+            for g in jax.tree_util.tree_leaves(grads):
+                ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(g)))
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            keep = lambda old, new: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, b, a), old, new)
+            new_params = keep(state.params, new_params)
+            new_opt = keep(state.opt_state, new_opt)
+            new_bs = keep(state.batch_stats, new_bs)
+            metrics["grads_finite"] = ok.astype(jnp.float32)
+        else:
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_bs, opt_state=new_opt), metrics
 
@@ -254,6 +295,30 @@ def make_eval_step(model) -> Callable:
         return model.apply({"params": state.params, "batch_stats": state.batch_stats},
                            images, train=False)
     return step
+
+
+def make_dp_eval_step(model, mesh: Mesh) -> Callable:
+    """Data-parallel eval forward over the ``dp`` mesh axis.
+
+    The TPU analog of the reference's eval-mode merge ``gather_GCN_outputs``
+    (dataParallel/gather.py:66-92, wired via gather.py:95-158): each device runs
+    the eval forward on its batch shard and the output pytree comes back
+    batch-sharded over the mesh — host consumption (``np.asarray`` in
+    ``harness.validate``) performs the cross-device gather, and jitted metric
+    ops consume the sharded arrays directly. The reference's edge-index
+    re-offsetting (gather.py:80-83) has no analog here: every output leaf —
+    padded MeshBatch buffers included — is per-sample batch-leading, so
+    concatenation along the batch axis IS the merge (SURVEY.md §2.8).
+    """
+    def fwd(state: TrainState, images: jnp.ndarray):
+        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           images, train=False)
+
+    sharded = jax.shard_map(fwd, mesh=mesh,
+                            in_specs=(P(), P("dp")),
+                            out_specs=P("dp"),
+                            check_vma=False)
+    return jax.jit(sharded)
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:

@@ -116,3 +116,66 @@ def test_dataloader_iterates_fixed_shapes():
     for b in batches:
         assert b.images.shape == (4, 48, 48, 3)
         assert b.voxels.shape == (4, 16, 16, 16)
+
+
+def test_pix3d_dataset_real_format_fixture(tmp_path):
+    """pix3dDataset on a real-format on-disk tree: scan-time non-RGB filtering
+    (reference: dataloader.py:111-116 — grayscale/RGBA/unreadable images are
+    dropped so the seed-42 split indexes the same filtered list), .mat voxels,
+    mask PNGs and OBJ meshes through __getitem__ and collate."""
+    import json
+
+    import PIL.Image
+    import scipy.io
+
+    from meshrcnn_tpu.data.datasets import pix3dDataset, dataLoader
+    from meshrcnn_tpu.data.serialization import save_mesh
+
+    root = tmp_path
+    for d in ("img", "mask", "model"):
+        (root / d).mkdir()
+    rng = np.random.RandomState(0)
+    verts = rng.rand(8, 3).astype(np.float32)
+    faces = np.asarray([[0, 1, 2], [2, 3, 4], [4, 5, 6]], dtype=np.int64)
+    manifest = []
+
+    def add(name, mode):
+        PIL.Image.new(mode, (60, 40), color=0).save(root / "img" / f"{name}.png")
+        PIL.Image.fromarray(np.full((40, 60), 255, np.uint8)).save(
+            root / "mask" / f"{name}.png")
+        scipy.io.savemat(root / "model" / f"{name}.mat",
+                         {"voxel": (rng.rand(32, 32, 32) > 0.7).astype(np.uint8)})
+        save_mesh(verts, faces, str(root / "model" / name))
+        manifest.append({"img": f"img/{name}.png", "mask": f"mask/{name}.png",
+                         "voxel": f"model/{name}.mat", "model": f"model/{name}.obj",
+                         "category": "chair", "bbox": [5, 5, 30, 35]})
+
+    add("a", "RGB")
+    add("b", "RGB")
+    add("c", "RGBA")      # filtered: alpha channel
+    add("d", "L")         # filtered: grayscale
+    manifest.append(dict(manifest[0], img="img/missing.jpg"))  # filtered: unreadable
+    with open(root / "pix3d.json", "w") as f:
+        json.dump(manifest, f)
+
+    ds = pix3dDataset(str(root))
+    assert len(ds) == 2
+    assert [r["img"] for r in ds.records] == ["img/a.png", "img/b.png"]
+
+    s = ds[0]
+    assert s.image.shape == (40, 60, 3) and 0.0 <= s.image.min() <= s.image.max() <= 1.0
+    assert s.voxels.shape == (32, 32, 32)
+    assert s.mask.shape == (40, 60)
+    assert s.boxes.shape == (1, 4)
+    assert s.mesh.vertices.shape == (8, 3) and s.mesh.faces.shape == (3, 3)
+    assert s.label == pix3dDataset.category_idx["chair"]
+
+    caps = CapacityConfig(gt_verts=16, gt_faces=16)
+    loader = dataLoader(ds, 2, 24, caps, image_size=64)
+    b = next(iter(loader))
+    assert b.images.shape == (2, 64, 64, 3)
+    assert b.voxels.shape == (2, 24, 24, 24)
+    assert b.masks.shape == (2, 64, 64)
+    assert b.boxes.shape == (2, 1, 4)
+    assert (b.boxes >= 0).all() and (b.boxes <= 64).all()
+    assert b.gt_verts.shape == (2, 16, 3) and b.gt_verts_mask[:, :8].all()

@@ -213,3 +213,33 @@ def test_vert_align_bilinear_exact():
     verts = jnp.asarray([[[5.0, 5.0, -10.0], [1.0, 2.0, -3.0]]])
     out = np.asarray(vert_align([fmap], verts, (64, 64)))
     assert np.allclose(out, 3.5, atol=1e-5)
+
+
+def test_normal_loss_grads_finite_on_degenerate_clouds():
+    """Regression: lattice-regular + duplicated points (exactly what cubify
+    vertices and with-replacement sampling produce) make the PCA scatter matrix
+    isotropic / gap-degenerate; the eigensolver's gradient must stay finite
+    (arccos at +-1 and 0-norm cross products used to emit NaNs that poisoned
+    every refine-stage parameter — and a 0.0 loss weight does NOT block them,
+    since 0 x NaN = NaN under reverse AD)."""
+    from meshrcnn_tpu.ops.chamfer import batched_normal_distance, chamfer_distance
+
+    g = np.stack(np.meshgrid(np.arange(4.0), np.arange(4.0), np.arange(4.0),
+                             indexing="ij"), -1).reshape(-1, 3)
+    p = np.concatenate([g, g[:32]])[None].astype(np.float32)   # dups included
+    q = (g[None] * 0.9 + 0.05).astype(np.float32)[:, :96]
+
+    def loss(pp):
+        _, ip, _, iq = chamfer_distance(pp[0], jnp.asarray(q)[0], 32)
+        ap, aq = batched_normal_distance(pp, jnp.asarray(q), ip[None], iq[None],
+                                         k=6, tile=32)
+        return -(ap + aq).sum() / 96.0
+
+    val, grad = jax.value_and_grad(loss)(jnp.asarray(p))
+    assert np.isfinite(float(val))
+    assert int(jnp.isnan(grad).sum()) == 0
+    assert int(jnp.isinf(grad).sum()) == 0
+
+    # the 0-weight trap: scaling the term by 0.0 must not resurrect NaNs
+    v2, g2 = jax.value_and_grad(lambda pp: 0.0 * loss(pp))(jnp.asarray(p))
+    assert int(jnp.isnan(g2).sum()) == 0

@@ -12,9 +12,9 @@ from jax.sharding import Mesh
 from meshrcnn_tpu.core.batch import Batch
 from meshrcnn_tpu.core.config import TrainConfig, LossWeights
 from meshrcnn_tpu.models.shapenet import ShapeNetModel
-from meshrcnn_tpu.parallel.train_step import (create_train_state, make_dp_train_step,
-                                              make_eval_step, make_train_step,
-                                              shard_batch)
+from meshrcnn_tpu.parallel.train_step import (create_train_state, make_dp_eval_step,
+                                              make_dp_train_step, make_eval_step,
+                                              make_train_step, shard_batch)
 
 TINY = dict(num_classes=13, residual=False, cubify_threshold=0.2,
             voxel_out_channels=8, vert_capacity=512, face_capacity=1024,
@@ -89,6 +89,89 @@ def test_train_step_decreases_nothing_nan(model_and_state):
     r0 = np.asarray(state.params["refine0"]["graphConv0"]["w0"])
     r1 = np.asarray(s1.params["refine0"]["graphConv0"]["w0"])
     assert not np.allclose(r0, r1)
+
+
+def test_dp_eval_matches_single_device():
+    """Eval-mode data parallelism (reference: dataParallel/gather.py:66-92
+    gather_GCN_outputs): the shard_map eval step over the 8-device mesh must
+    produce the same merged outputs — and the same validate() metrics — as the
+    single-device jit."""
+    # f32 backbone for this test: bf16 reduction-order noise between batch
+    # partitionings is amplified ~100x through six graph-conv layers, which
+    # makes elementwise comparison meaningless; partition-invariance of the dp
+    # plumbing is what's under test, not bf16 determinism.
+    model = ShapeNetModel(**{**TINY, "backbone_dtype": "float32"})
+    batch2 = tiny_batch()
+    state = create_train_state(model, tiny_config(), jax.random.PRNGKey(0),
+                               batch2.images)
+    devs = jax.devices()
+    assert len(devs) == 8
+    mesh = Mesh(np.array(devs), ("dp",))
+    batch = tiny_batch(B=8)
+
+    # Saturate the voxel head's final 1x1-conv bias so occupancy probabilities
+    # sit at sigmoid(+-4), far from the 0.2 cubify threshold: bf16-backbone
+    # float noise between batch partitionings (~1e-3) must not be able to flip
+    # a voxel and discretely change the mesh topology under comparison.
+    bias = np.where(np.arange(8) % 3 == 0, 4.0, -4.0).astype(np.float32)
+    params = jax.tree_util.tree_map(lambda x: x, state.params)  # shallow copy
+    params["voxelBranch"]["conv2"]["bias"] = jnp.asarray(bias)
+    state = state.replace(params=params)
+
+    single = make_eval_step(model)
+    dp = make_dp_eval_step(model, mesh)
+    o1 = single(state, batch.images)
+    o2 = dp(state, batch.images)
+    # discrete outputs: exactly equal; continuous: equal to bf16-noise tolerance
+    for a, b in ((o1.mesh.verts_mask, o2.mesh.verts_mask),
+                 (o1.mesh.faces, o2.mesh.faces),
+                 (o1.mesh.faces_mask, o2.mesh.faces_mask),
+                 (o1.mesh.edges, o2.mesh.edges)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+    for a, b in ((o1.logits, o2.logits), (o1.voxels, o2.voxels),
+                 *zip(o1.stage_verts, o2.stage_verts)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-2)
+
+    from meshrcnn_tpu.harness import validate
+    loader = [batch, tiny_batch(B=8)]
+    cfg = tiny_config()
+    r1 = validate(0, single, state, loader, cfg, num_classes=13,
+                  rng=jax.random.PRNGKey(3), print_freq=1000)
+    r2 = validate(0, dp, state, loader, cfg, num_classes=13,
+                  rng=jax.random.PRNGKey(3), print_freq=1000)
+    assert set(r1) == set(r2)
+    for k in r1:
+        if k == "confusion":
+            assert (r1[k] == r2[k]).all()
+        elif k in ("batch_time", "data_loading"):
+            continue
+        else:
+            assert np.isclose(r1[k], r2[k], rtol=1e-3, atol=1e-4), \
+                f"{k}: {r1[k]} vs {r2[k]}"
+
+
+def test_skip_nonfinite_update(model_and_state):
+    """A poisoned batch (NaN images -> NaN loss/grads) must not change params,
+    opt state or BN stats, and must report grads_finite=0 — the jit-safe analog
+    of the reference's try/except batch skip (train_utils.py:202-205)."""
+    model, state, batch = model_and_state
+    step = jax.jit(make_train_step(model, tiny_config()))
+    bad = batch.replace(images=batch.images.at[0, 0, 0, 0].set(jnp.nan))
+    s1, metrics = step(state, bad, jax.random.PRNGKey(5))
+    assert float(metrics["grads_finite"]) == 0.0
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(s1.batch_stats)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # healthy batch still updates and reports grads_finite=1
+    s2, m2 = step(state, batch, jax.random.PRNGKey(6))
+    assert float(m2["grads_finite"]) == 1.0
+    r0 = np.asarray(state.params["refine0"]["graphConv0"]["w0"])
+    r2 = np.asarray(s2.params["refine0"]["graphConv0"]["w0"])
+    assert not np.allclose(r0, r2)
 
 
 def test_dp_train_step_matches_metrics(model_and_state):
