@@ -95,8 +95,8 @@ def load_pretrained_resnet50(path: str, num_classes: int = 13) -> Tuple[dict, di
     return convert_resnet50(sd, num_classes=num_classes)
 
 
-def convert_maskrcnn(state_dict: Dict[str, Any], num_classes: int | None = None
-                     ) -> Tuple[dict, dict]:
+def convert_maskrcnn(state_dict: Dict[str, Any], num_classes: int | None = None,
+                     box_pool: int | None = 12) -> Tuple[dict, dict]:
     """Map a torchvision maskrcnn_resnet50_fpn state dict to this framework's
     Pix3DMaskRCNN parameter tree (reference-equivalent of pretrained_MaskRcnn,
     pix3d_model.py:163-178, minus the download).
@@ -136,8 +136,24 @@ def convert_maskrcnn(state_dict: Dict[str, Any], num_classes: int | None = None
     }
 
     roi: dict = {}
-    roi["box_head"] = {"fc6": dense("roi_heads.box_head.fc6"),
-                       "fc7": dense("roi_heads.box_head.fc7")}
+    # fc6 consumes the FLATTENED pooled RoI map; torch flattens NCHW (C,H,W)
+    # while the flax TwoMLPHead flattens NHWC (H,W,C) — permute the kernel's
+    # input ordering or the converted head computes garbage (caught by
+    # tests/test_convert.py forward-activation parity).
+    fc6_w = _t2n(state_dict["roi_heads.box_head.fc6.weight"])   # [rep, C*H*W]
+    chans = 256
+    if "roi_heads.mask_head.mask_fcn1.weight" in state_dict:
+        chans = _t2n(state_dict["roi_heads.mask_head.mask_fcn1.weight"]).shape[1]
+    hw = fc6_w.shape[1] // chans
+    side = int(round(hw ** 0.5))
+    if box_pool is None or side == box_pool:
+        fc6_k = (fc6_w.reshape(-1, chans, side, side)
+                 .transpose(0, 2, 3, 1).reshape(fc6_w.shape[0], -1).T)
+        roi["box_head"] = {"fc6": {"kernel": fc6_k,
+                                   "bias": _t2n(state_dict["roi_heads.box_head.fc6.bias"])},
+                           "fc7": dense("roi_heads.box_head.fc7")}
+    # else: drop — the reference swaps the whole RoI head for a fresh 12x12-pool
+    # one (pix3d_model.py:172-176), so COCO's 7x7 box head never survives.
     cls_w = _t2n(state_dict["roi_heads.box_predictor.cls_score.weight"])
     if num_classes is None or cls_w.shape[0] == num_classes:
         roi["box_predictor"] = {

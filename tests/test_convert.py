@@ -147,3 +147,153 @@ def test_convert_maskrcnn_into_flax():
 
     check_subset(fresh_p, params)
     check_subset(fresh_s, stats)
+
+
+def _torch_bottleneck(sd, pref, x, stride):
+    import torch.nn.functional as F
+
+    def bn(name, t):
+        return F.batch_norm(t, sd[name + ".running_mean"], sd[name + ".running_var"],
+                            sd[name + ".weight"], sd[name + ".bias"],
+                            training=False, eps=1e-5)
+
+    y = F.relu(bn(f"{pref}.bn1", F.conv2d(x, sd[f"{pref}.conv1.weight"])))
+    y = F.relu(bn(f"{pref}.bn2", F.conv2d(y, sd[f"{pref}.conv2.weight"],
+                                          stride=stride, padding=1)))
+    y = bn(f"{pref}.bn3", F.conv2d(y, sd[f"{pref}.conv3.weight"]))
+    if f"{pref}.downsample.0.weight" in sd:
+        r = bn(f"{pref}.downsample.1",
+               F.conv2d(x, sd[f"{pref}.downsample.0.weight"], stride=stride))
+    else:
+        r = x
+    return F.relu(y + r)
+
+
+def _torch_resnet50_forward(sd, x):
+    """Hand-rolled torchvision-equivalent ResNet-50 eval forward (NCHW)."""
+    import torch.nn.functional as F
+
+    x = F.conv2d(x, sd["conv1.weight"], stride=2, padding=3)
+    x = F.batch_norm(x, sd["bn1.running_mean"], sd["bn1.running_var"],
+                     sd["bn1.weight"], sd["bn1.bias"], training=False, eps=1e-5)
+    x = F.relu(x)
+    x = F.max_pool2d(x, 3, stride=2, padding=1)
+    fmaps = []
+    for i, blocks in enumerate((3, 4, 6, 3), start=1):
+        for j in range(blocks):
+            x = _torch_bottleneck(sd, f"layer{i}.{j}", x, 2 if (i > 1 and j == 0) else 1)
+        fmaps.append(x)
+    pooled = x.mean(dim=(2, 3))
+    logits = pooled @ sd["fc.weight"].T + sd["fc.bias"]
+    return logits, fmaps
+
+
+def test_resnet50_forward_activation_parity():
+    """Numeric parity, not just placement (reference: shapenet_model.py:139-150
+    loads real zoo weights): the flax forward on converted weights must match a
+    hand-rolled torch forward of the same state dict — logits and every C2..C5
+    activation map."""
+    sd = build_torch_style_state_dict(num_classes=1000)
+    with torch.no_grad():
+        x_t = torch.randn(2, 3, 64, 64, generator=torch.Generator().manual_seed(1))
+        t_logits, t_fmaps = _torch_resnet50_forward(sd, x_t)
+
+    params, stats = convert_resnet50(sd, num_classes=1000)  # fc kept
+    model = ResNet50(num_classes=1000)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                assert np.asarray(dst[k]).shape == np.asarray(v).shape, k
+                dst[k] = jnp.asarray(np.asarray(v), dtype=np.asarray(dst[k]).dtype)
+
+    p = jax.device_get(variables["params"]); merge(p, params)
+    s = jax.device_get(variables["batch_stats"]); merge(s, stats)
+
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    j_logits, j_fmaps = model.apply({"params": p, "batch_stats": s}, x_j, train=False)
+
+    for tf, jf, name in zip(t_fmaps, j_fmaps, ("c2", "c3", "c4", "c5")):
+        np.testing.assert_allclose(np.asarray(jf),
+                                   tf.numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-3, atol=1e-4, err_msg=name)
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_maskrcnn_fpn_and_box_head_forward_parity():
+    """FPN pyramid + box TwoMLPHead numeric parity on converted Mask R-CNN
+    weights (reference: pix3d_model.py:163-178). Catches layout bugs placement
+    checks can't — e.g. fc6 consuming NCHW-flattened features while the flax
+    head flattens NHWC."""
+    import torch.nn.functional as F
+
+    from meshrcnn_tpu.models.fpn import ResNetFPN
+    from meshrcnn_tpu.models.roi_heads import TwoMLPHead
+    from meshrcnn_tpu.utils.torch_convert import convert_maskrcnn
+
+    sd = build_torch_style_maskrcnn_sd()
+    body = {k[len("backbone.body."):]: v for k, v in sd.items()
+            if k.startswith("backbone.body.")}
+    body["fc.weight"] = torch.zeros(1000, 2048)
+    body["fc.bias"] = torch.zeros(1000)
+
+    with torch.no_grad():
+        x_t = torch.randn(1, 3, 64, 64, generator=torch.Generator().manual_seed(2))
+        _, c = _torch_resnet50_forward(body, x_t)
+        inner = [F.conv2d(c[i], sd[f"backbone.fpn.inner_blocks.{i}.weight"],
+                          sd[f"backbone.fpn.inner_blocks.{i}.bias"]) for i in range(4)]
+        t_p = [None] * 4
+        t_p[3] = inner[3]
+        for i in (2, 1, 0):
+            t_p[i] = inner[i] + F.interpolate(t_p[i + 1], size=inner[i].shape[-2:],
+                                              mode="nearest")
+        t_p = [F.conv2d(t_p[i], sd[f"backbone.fpn.layer_blocks.{i}.weight"],
+                        sd[f"backbone.fpn.layer_blocks.{i}.bias"], padding=1)
+               for i in range(4)]
+        t_p6 = F.max_pool2d(t_p[3], 1, stride=2)
+
+        pooled = torch.randn(3, 256, 12, 12, generator=torch.Generator().manual_seed(3))
+        h = F.relu(pooled.flatten(1) @ sd["roi_heads.box_head.fc6.weight"].T
+                   + sd["roi_heads.box_head.fc6.bias"])
+        t_box = F.relu(h @ sd["roi_heads.box_head.fc7.weight"].T
+                       + sd["roi_heads.box_head.fc7.bias"])
+
+    params, stats = convert_maskrcnn(sd, num_classes=10)
+
+    fpn = ResNetFPN()
+    variables = jax.jit(fpn.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict):
+                merge(dst[k], v)
+            else:
+                assert np.asarray(dst[k]).shape == np.asarray(v).shape, k
+                dst[k] = jnp.asarray(np.asarray(v), dtype=np.asarray(dst[k]).dtype)
+
+    p = jax.device_get(variables["params"]); merge(p, params["backbone"])
+    s = jax.device_get(variables["batch_stats"]); merge(s, stats["backbone"])
+
+    x_j = jnp.asarray(x_t.numpy().transpose(0, 2, 3, 1))
+    j_p = fpn.apply({"params": p, "batch_stats": s}, x_j, train=False)
+    for i in range(4):
+        np.testing.assert_allclose(np.asarray(j_p[i]),
+                                   t_p[i].numpy().transpose(0, 2, 3, 1),
+                                   rtol=1e-3, atol=5e-2, err_msg=f"p{i + 2}")
+    np.testing.assert_allclose(np.asarray(j_p[4]),
+                               t_p6.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=5e-2, err_msg="p6")
+
+    head = TwoMLPHead()
+    hv = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 12 * 12 * 256)))
+    hp = jax.device_get(hv["params"]); merge(hp, params["roi_heads"]["box_head"])
+    pooled_nhwc = pooled.numpy().transpose(0, 2, 3, 1).reshape(1, 3, -1)
+    j_box = head.apply({"params": hp}, jnp.asarray(pooled_nhwc))
+    np.testing.assert_allclose(np.asarray(j_box)[0], t_box.numpy(),
+                               rtol=1e-3, atol=1e-4)
