@@ -62,6 +62,8 @@ class Pix3DMaskRCNN(nn.Module):
     rpn_post_nms_top_n: int = 512
     roi_batch_size: int = 512
     mask_rois: int = 64
+    compute_dtype: str = "bfloat16"  # conv/matmul dtype for FPN/RPN/RoI heads;
+                                     # norms, box math and losses stay f32
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -70,8 +72,9 @@ class Pix3DMaskRCNN(nn.Module):
                  gt_masks: Optional[jnp.ndarray] = None,
                  rng: Optional[jax.Array] = None):
         H, W = images.shape[1:3]
-        feats = ResNetFPN(name="backbone")(images, train)   # [p2..p5, p6]
-        logits, deltas = RPNHead(name="rpn_head")(feats)
+        dtype = jnp.dtype(self.compute_dtype)
+        feats = ResNetFPN(dtype=dtype, name="backbone")(images, train)  # [p2..p5, p6]
+        logits, deltas = RPNHead(dtype=dtype, name="rpn_head")(feats)
         anchors = generate_anchors([f.shape[1:3] for f in feats], (H, W))
 
         proposals, _, prop_valid = select_proposals(
@@ -91,6 +94,7 @@ class Pix3DMaskRCNN(nn.Module):
             detections_per_img=self.detections_per_img,
             batch_size_per_image=self.roi_batch_size,
             mask_rois=self.mask_rois,
+            dtype=dtype,
             name="roi_heads")(feats, proposals, prop_valid, (H, W), train=train,
                               gt_boxes=gt_boxes, gt_labels=gt_labels,
                               gt_masks=gt_masks,
@@ -128,6 +132,7 @@ class Pix3DModel(nn.Module):
     rpn_post_nms_top_n: int = 512
     roi_batch_size: int = 512
     mask_rois: int = 64
+    backbone_dtype: str = "bfloat16"  # detection-stack compute dtype (see Pix3DMaskRCNN)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -143,6 +148,7 @@ class Pix3DModel(nn.Module):
             rpn_post_nms_top_n=self.rpn_post_nms_top_n,
             roi_batch_size=self.roi_batch_size,
             mask_rois=self.mask_rois,
+            compute_dtype=self.backbone_dtype,
             name="backbone")(images, train, gt_boxes, gt_labels, gt_masks, rng)
 
         if train:

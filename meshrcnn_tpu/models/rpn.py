@@ -48,21 +48,26 @@ def generate_anchors(feature_shapes: Sequence[tuple[int, int]],
 
 
 class RPNHead(nn.Module):
-    """Shared 3x3 conv + objectness / bbox-delta 1x1 heads (torchvision RPNHead)."""
+    """Shared 3x3 conv + objectness / bbox-delta 1x1 heads (torchvision RPNHead).
+
+    Convs compute in ``dtype`` (bf16 on TPU); logits/deltas are cast back to f32
+    at the head boundary — box decoding and the BCE/smooth-L1 losses need f32.
+    """
 
     num_anchors: int = len(ASPECT_RATIOS)
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray]):
-        conv = nn.Conv(256, (3, 3), padding=1, name="conv")
-        cls = nn.Conv(self.num_anchors, (1, 1), name="cls_logits")
-        reg = nn.Conv(self.num_anchors * 4, (1, 1), name="bbox_pred")
+        conv = nn.Conv(256, (3, 3), padding=1, dtype=self.dtype, name="conv")
+        cls = nn.Conv(self.num_anchors, (1, 1), dtype=self.dtype, name="cls_logits")
+        reg = nn.Conv(self.num_anchors * 4, (1, 1), dtype=self.dtype, name="bbox_pred")
         logits, deltas = [], []
         for f in features:
             t = nn.relu(conv(f))
             B = t.shape[0]
-            logits.append(cls(t).reshape(B, -1))
-            deltas.append(reg(t).reshape(B, -1, 4))
+            logits.append(cls(t).reshape(B, -1).astype(jnp.float32))
+            deltas.append(reg(t).reshape(B, -1, 4).astype(jnp.float32))
         return logits, deltas
 
 
