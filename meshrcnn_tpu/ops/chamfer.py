@@ -64,7 +64,7 @@ def nearest_neighbor(p: jnp.ndarray, q: jnp.ndarray,
 
 
 def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
-        subtile: int = 128) -> tuple[jnp.ndarray, jnp.ndarray]:
+        subtile: int = 128, exact: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Approximate k nearest neighbours in q for every point of p (squared dists).
 
     Candidate selection is the *min of each subtile* of the distance row — a pure
@@ -74,10 +74,18 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
     10k x 2k call; the subtile-min pass is ~free.) Recall vs exact kNN: a true
     neighbour is only lost when two of the top-k share a subtile — ~95% for
     k=10, M=10k, subtile=128; the candidates only feed the PCA-normal estimator,
-    which is insensitive at this level. Returns (dists [N,k], idx [N,k]).
+    which is insensitive at this level (quantified: see PERFORMANCE.md
+    "Approximate kNN deviation" and tools/quantify_knn.py — normal-loss value
+    within <0.2% and gradient cosine >0.99 vs exact on 2k-10k clouds).
+    ``exact=True`` forces the full top-k path (the reference semantics of
+    loss_functions.py:119-122) for validation. Returns (dists [N,k], idx [N,k]).
     """
     N = p.shape[0]
     M = q.shape[0]
+    if exact and M > 1024:
+        d = _dist_block(p, q)
+        neg_top, idx = jax.lax.top_k(-d, min(k, M))
+        return -neg_top, idx.astype(jnp.int32)
     if M <= 1024:                                        # small inputs: exact
         d = _dist_block(p, q)
         neg_top, idx = jax.lax.top_k(-d, min(k, M))
@@ -193,7 +201,7 @@ def smallest_eigenvector(S: jnp.ndarray) -> jnp.ndarray:
 
 
 def batched_compute_normals(pts: jnp.ndarray, k: int = 10,
-                            tile: int = 2048) -> jnp.ndarray:
+                            tile: int = 2048, exact: bool = False) -> jnp.ndarray:
     """PCA surface normals of clouds [B, N, 3] from their k nearest neighbours.
 
     Follows the reference's construction (loss_functions.py:129-170): neighbourhood
@@ -211,7 +219,8 @@ def batched_compute_normals(pts: jnp.ndarray, k: int = 10,
     # Python-unrolled over the (small, static) batch: vmapping approx_min_k
     # legalises it to a full SORT fallback (~38 ms/step per call measured);
     # unbatched calls take the hardware approx-top-k path.
-    idx = jnp.stack([knn(pts[b], pts[b], k, tile)[1] for b in range(B)])
+    idx = jnp.stack([knn(pts[b], pts[b], k, tile, exact=exact)[1]
+                     for b in range(B)])
 
     neigh = batched_gather_rows(pts, idx.reshape(B, N * k)).reshape(B, N, k, 3)
     mean = jnp.mean(neigh, axis=2, keepdims=True)
@@ -227,8 +236,8 @@ def compute_normals(pts: jnp.ndarray, k: int = 10, tile: int = 2048) -> jnp.ndar
 
 
 def batched_normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
-                            idx_q: jnp.ndarray, k: int = 10, tile: int = 2048
-                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
+                            idx_q: jnp.ndarray, k: int = 10, tile: int = 2048,
+                            exact: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Two-sided per-sample summed |cos| normal alignment for clouds [B, N, 3].
 
     Mirrors the reference ``batched_normal_distance`` (loss_functions.py:107-126)
@@ -236,8 +245,8 @@ def batched_normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
     """
     from meshrcnn_tpu.ops.gather import batched_gather_rows
 
-    n_p = batched_compute_normals(p, k=k, tile=tile)
-    n_q = batched_compute_normals(q, k=k, tile=tile)
+    n_p = batched_compute_normals(p, k=k, tile=tile, exact=exact)
+    n_q = batched_compute_normals(q, k=k, tile=tile, exact=exact)
     nn_p = batched_gather_rows(n_q, idx_p)
     nn_q = batched_gather_rows(n_p, idx_q)
     align_p = jnp.sum(jnp.abs(jnp.sum(n_p * nn_p, axis=-1)), axis=1)

@@ -13,9 +13,16 @@ OUT=${2:-/root/parity}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+# --train_backbone deviates from the reference's frozen-backbone GCN phase out
+# of necessity: the reference freezes a ZOO-PRETRAINED ResNet-50 (offline here,
+# and the generated mini-ShapeNet is single-class so classification pretraining
+# via train_backbone.py has no signal). A frozen RANDOM backbone plateaus
+# immediately (measured: chamfer flat at ~0.47 for 20 epochs); joint training is
+# the closest offline equivalent of "meaningful features under the GCN".
 COMMON="--model ShapeNet --dataRoot $DATA --batchSize 3 --num_sampels 1400 \
   --optim Adam --weightDecay 0.0 --lr 1e-4 --threshold 0.2 \
   --chamfer 1.0 --voxel 1.0 --normal 0.0 --edge 0.5 --residual \
+  --train_backbone \
   --vert_capacity 8192 --face_capacity 16384 --edge_capacity 32768 \
   --point_cloud_size 10000 --print_freq 50"
 
