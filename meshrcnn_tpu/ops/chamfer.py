@@ -99,7 +99,14 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
     pad = num_tiles * T - M
     q_pad = jnp.pad(q, ((0, pad), (0, 0)))
     q_tiles = q_pad.reshape(num_tiles, T, 3)
+    # Adaptive subtile: recall collapses when the candidate pool (~M/s) gets
+    # close to k (measured: 77% recall / 0.48 grad cosine at M=2048, s=128 —
+    # tools/quantify_knn.py). Halve s until the pool is >= ~8k candidates (and
+    # divides T), trading a still-negligible merge top-k for recall.
     s = min(subtile, T)
+    target = max(8, M // (8 * k))
+    while s > 8 and (s > target or T % s):
+        s //= 2
     G = -(-T // s)                                       # candidates per tile
 
     def body(carry, inp):
