@@ -98,3 +98,40 @@ def test_multiscale_roi_align_levels():
     assert out.shape == (1, 2, 7, 7, C)
     assert np.allclose(out[0, 0], 1.0)
     assert np.allclose(out[0, 1], 2.0)
+
+
+def test_nms_fixed_point_matches_sequential_greedy():
+    """Property test: the fixed-point NMS (ops/nms.py) must equal brute-force
+    sequential greedy NMS on random box soups — including deep suppression
+    chains, duplicate scores and invalid rows."""
+    def greedy_reference(boxes, scores, valid, thresh, max_keep):
+        import numpy as _np
+        iou = np.asarray(box_iou(jnp.asarray(boxes), jnp.asarray(boxes)))
+        s = _np.where(valid, scores, -_np.inf)
+        alive = valid.copy()
+        order = []
+        while len(order) < max_keep:
+            cand = _np.where(alive, s, -_np.inf)
+            best = int(_np.argmax(cand))
+            if not _np.isfinite(cand[best]):
+                break
+            order.append(best)
+            alive &= ~(iou[best] > thresh)
+            alive[best] = False
+        return order
+
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        n = 64
+        xy = rng.rand(n, 2) * 20
+        wh = rng.rand(n, 2) * 12 + 0.5
+        boxes = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        scores = np.round(rng.rand(n).astype(np.float32), 2)  # force score ties
+        valid = rng.rand(n) > 0.2
+        for max_keep in (3, 16):
+            ref = greedy_reference(boxes, scores, valid, 0.4, max_keep)
+            order, keep = nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                   jnp.asarray(valid), 0.4, max_keep)
+            got = [int(i) for i in np.asarray(order) if i >= 0]
+            assert got == ref, (trial, max_keep, got, ref)
+            assert int(np.asarray(keep).sum()) == len(ref)
