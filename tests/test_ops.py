@@ -243,3 +243,17 @@ def test_normal_loss_grads_finite_on_degenerate_clouds():
     # the 0-weight trap: scaling the term by 0.0 must not resurrect NaNs
     v2, g2 = jax.value_and_grad(lambda pp: 0.0 * loss(pp))(jnp.asarray(p))
     assert int(jnp.isnan(g2).sum()) == 0
+
+
+def test_knn_adaptive_subtile_recall():
+    """The adaptive subtile must keep approximate-kNN recall high in the
+    small-cloud regime where the fixed subtile collapsed (quantified in
+    PERFORMANCE.md: 0.77 recall at M=2048 with subtile=128 -> 0.97 adaptive)."""
+    from meshrcnn_tpu.ops.chamfer import knn
+
+    rng = np.random.RandomState(3)
+    p = jnp.asarray(rng.randn(2048, 3).astype(np.float32))
+    ie = np.asarray(knn(p, p, 10, tile=2048, exact=True)[1])
+    ia = np.asarray(knn(p, p, 10, tile=2048)[1])
+    recall = np.mean([len(set(ie[i]) & set(ia[i])) / 10.0 for i in range(2048)])
+    assert recall >= 0.9, recall
