@@ -73,7 +73,13 @@ def main():
                               edge_capacity=options.edge_capacity)
     state = create_train_state(model, TrainConfig(), jax.random.PRNGKey(0), images)
     if options.modelPath:
-        state = load_state(options.modelPath, state)
+        try:
+            state = load_state(options.modelPath, state)
+        except Exception:
+            # opt-state structure mismatch (different --train_backbone at train
+            # time); inference only needs params/batch_stats
+            from meshrcnn_tpu.utils.checkpoint import load_state_partial
+            state, _ = load_state_partial(options.modelPath, state)
 
     out = make_eval_step(model)(state, images)
 

@@ -105,8 +105,21 @@ def main():
     rng = jax.random.PRNGKey(0)
     state = create_train_state(model, config, rng, np.asarray(sample_batch.images))
     if options.model_path:
-        state = load_state(options.model_path, state)
-        safe_print(f"loaded checkpoint {options.model_path}")
+        try:
+            state = load_state(options.model_path, state)
+            safe_print(f"loaded checkpoint {options.model_path}")
+        except Exception:
+            # structure mismatch — e.g. the checkpoint was trained with
+            # --train_backbone (plain optimizer chain) while eval's fresh state
+            # uses the frozen-backbone multi_transform template. Eval never
+            # touches the optimizer, so params/batch_stats are all that matter.
+            from meshrcnn_tpu.utils.checkpoint import load_state_partial
+            state, (n_loaded, n_total) = load_state_partial(options.model_path, state)
+            safe_print(f"partially loaded checkpoint {options.model_path} "
+                       f"({n_loaded}/{n_total} param leaves)")
+            if n_loaded < n_total:
+                safe_print("warning: some eval-model params were not in the "
+                           "checkpoint (voxel-only checkpoint into a full model?)")
 
     n_dev = options.num_devices or 1
     if n_dev > 1:
