@@ -135,3 +135,33 @@ def test_nms_fixed_point_matches_sequential_greedy():
             got = [int(i) for i in np.asarray(order) if i >= 0]
             assert got == ref, (trial, max_keep, got, ref)
             assert int(np.asarray(keep).sum()) == len(ref)
+
+
+def test_multiscale_roi_align_matches_mask_select_reference():
+    """The single-gather stacked-pyramid multiscale RoIAlign must equal the
+    straightforward pool-every-level-and-mask-select formulation."""
+    from meshrcnn_tpu.ops.roi_align import multiscale_roi_align, roi_align
+
+    rng = np.random.RandomState(11)
+    B, C, H = 2, 8, 64
+    feats = [jnp.asarray(rng.randn(B, H // s, H // s, C).astype(np.float32))
+             for s in (4, 8, 16, 32)]
+    # box sizes spanning all FPN levels (areas from tiny to image-sized)
+    boxes = []
+    for size in (8.0, 40.0, 120.0, 260.0, 500.0):
+        x = rng.rand(B, 1, 2) * 30
+        boxes.append(np.concatenate([x, x + size], -1))
+    boxes = jnp.asarray(np.concatenate(boxes, axis=1).astype(np.float32))
+
+    got = multiscale_roi_align(feats, boxes, (256, 256), 7, sampling_ratio=2)
+
+    areas = (boxes[..., 2] - boxes[..., 0]) * (boxes[..., 3] - boxes[..., 1])
+    k = jnp.clip(jnp.floor(4 + jnp.log2(jnp.sqrt(areas) / 224)), 2, 5) - 2
+    want = None
+    for lvl, fmap in enumerate(feats):
+        pooled = roi_align(fmap, boxes, fmap.shape[1] / 256, 7, sampling_ratio=2)
+        sel = (k == lvl)[..., None, None, None].astype(pooled.dtype)
+        want = pooled * sel if want is None else want + pooled * sel
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
