@@ -286,9 +286,12 @@ class RoIHeads(nn.Module):
             cls[..., None, None, None], axis=2)[:, :, 0]          # [B, M, 28, 28]
 
         # crop GT masks to each proposal at 28x28 via roi_align on the mask image
+        # (stop_gradient: targets are thresholded GT — keeps autodiff from ever
+        # building the gather's backward scatter over the [B, H, W] mask image)
         out_sz = logits.shape[2]
-        targets = roi_align(gt_masks[..., None].astype(jnp.float32), sel_props,
-                            1.0, out_sz, sampling_ratio=2)[..., 0]
+        targets = jax.lax.stop_gradient(
+            roi_align(gt_masks[..., None].astype(jnp.float32), sel_props,
+                      1.0, out_sz, sampling_ratio=2)[..., 0])
         targets = (targets >= 0.5).astype(jnp.float32)
 
         bce = (jnp.maximum(sel_logits, 0) - sel_logits * targets

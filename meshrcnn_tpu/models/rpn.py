@@ -79,7 +79,14 @@ def select_proposals(logits: Sequence[jnp.ndarray], deltas: Sequence[jnp.ndarray
     """Decode + top-k + per-level NMS + global top-k, all static shapes.
 
     Returns (proposals [B, post_nms_top_n, 4], scores, valid mask).
+
+    Proposals are detached (torchvision RPN decodes from pred_bbox_deltas
+    .detach(), rpn.py in torchvision): RoI-head losses must not backprop into
+    the RPN through the proposal coordinates — the RPN trains from its own
+    loss only. Also spares autodiff the whole selection/NMS backward.
     """
+    logits = [jax.lax.stop_gradient(l) for l in logits]
+    deltas = [jax.lax.stop_gradient(d) for d in deltas]
     B = logits[0].shape[0]
     all_boxes, all_scores, all_valid = [], [], []
     for lvl, (lg, dl, anc) in enumerate(zip(logits, deltas, anchors)):

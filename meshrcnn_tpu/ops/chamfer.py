@@ -94,19 +94,40 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
             neg_top = jnp.concatenate([neg_top, jnp.tile(neg_top[:, -1:], (1, rep))], 1)
             idx = jnp.concatenate([idx, jnp.tile(idx[:, -1:], (1, rep))], 1)
         return -neg_top, idx.astype(jnp.int32)
-    T = min(tile, M)
-    num_tiles = -(-M // T)
-    pad = num_tiles * T - M
-    q_pad = jnp.pad(q, ((0, pad), (0, 0)))
-    q_tiles = q_pad.reshape(num_tiles, T, 3)
     # Adaptive subtile: recall collapses when the candidate pool (~M/s) gets
     # close to k (measured: 77% recall / 0.48 grad cosine at M=2048, s=128 —
     # tools/quantify_knn.py). Halve s until the pool is >= ~8k candidates (and
-    # divides T), trading a still-negligible merge top-k for recall.
+    # divides the tile), trading a still-negligible merge top-k for recall.
+    T = min(tile, M)
     s = min(subtile, T)
     target = max(8, M // (8 * k))
     while s > 8 and (s > target or T % s):
         s //= 2
+
+    import os
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("MESHRCNN_FUSED_KNN", "1") == "1"):
+        # Pallas path: the distance gram stays in VMEM; only the subtile-min
+        # candidates are written (PERFORMANCE.md "Pallas kNN candidates")
+        from meshrcnn_tpu.ops.chamfer_pallas import TILE as P_TILE
+        from meshrcnn_tpu.ops.chamfer_pallas import knn_candidates_pallas
+        from meshrcnn_tpu.ops.gather import take_along_rows
+        ps = s
+        while P_TILE % ps:
+            ps //= 2
+        vals, idxs = knn_candidates_pallas(p, q, subtile=max(ps, 8))
+        kk = min(k, M)
+        neg_top, pos = jax.lax.top_k(-vals, kk)
+        top_idx = take_along_rows(idxs, pos)
+        if kk < k:
+            rep = k - kk
+            neg_top = jnp.concatenate([neg_top, jnp.tile(neg_top[:, -1:], (1, rep))], 1)
+            top_idx = jnp.concatenate([top_idx, jnp.tile(top_idx[:, -1:], (1, rep))], 1)
+        return -neg_top, top_idx
+    num_tiles = -(-M // T)
+    pad = num_tiles * T - M
+    q_pad = jnp.pad(q, ((0, pad), (0, 0)))
+    q_tiles = q_pad.reshape(num_tiles, T, 3)
     G = -(-T // s)                                       # candidates per tile
 
     def body(carry, inp):

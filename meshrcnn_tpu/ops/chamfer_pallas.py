@@ -176,3 +176,85 @@ def _bwd(res, cots):
 
 
 chamfer_sums_fused.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# kNN candidate kernel: subtile-min candidates without materialising [N, M]
+# ---------------------------------------------------------------------------
+
+def _knn_kernel(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
+    """One (p-tile, q-tile) block: distance gram in VMEM, per-subtile min/argmin.
+
+    The XLA lowering of the same computation materialises every [N, TILE]
+    distance block to HBM between the dot and the reduce (profiled ~45 ms/step
+    across the normal-loss kNN calls, PERFORMANCE.md); here the gram never
+    leaves VMEM and only the [TP, TILE/subtile] candidates are written.
+    """
+    j = pl.program_id(1)
+    pt = pt_ref[:]                     # [8, TP]
+    qt = qt_ref[:]                     # [8, TQ]
+    # gram computed TRANSPOSED ([TQ, TP]): q subtiles then live on the sublane
+    # axis, so the subtile split is a tile-preserving leading-dim reshape and
+    # the reduced output block [G, TP] satisfies Mosaic's (8, 128) tiling —
+    # splitting the lane dim (d.reshape(tp, g, s)) does not lower.
+    qp = jax.lax.dot_general(qt, pt, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)   # [TQ, TP]
+    pp = jnp.sum(pt * pt, axis=0)
+    qq = jnp.sum(qt * qt, axis=0)
+    d = qq[:, None] + pp[None, :] - 2.0 * qp                       # [TQ, TP]
+    tq, tp = d.shape
+    g = tq // subtile
+    dg = d.reshape(g, subtile, tp)
+    vals_ref[:] = jnp.min(dg, axis=1)                              # [G, TP]
+    sub = jnp.argmin(dg, axis=1).astype(jnp.int32)                 # [G, TP]
+    base = j * tq + jax.lax.broadcasted_iota(jnp.int32, (g, tp), 0) * subtile
+    args_ref[:] = sub + base
+
+
+def knn_candidates_pallas(p: jnp.ndarray, q: jnp.ndarray, subtile: int = 64,
+                          tile: int = TILE) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Subtile-min kNN candidates of q for each point of p (TPU Pallas path).
+
+    Returns (vals [N, M_pad/subtile], idx) — same candidate semantics as the
+    XLA path in ops/chamfer.knn at the same subtile; the caller runs the exact
+    top-k merge. Candidate selection is not differentiated (indices are
+    discrete; gradients flow through the downstream gathers): INPUTS are
+    stop_gradient'ed so autodiff's all-zero-tangent fast path binds the
+    pallas_call as a constant — jvp-tracing the kernel itself trips
+    `pl.program_id` outside a grid context (pallas has no jvp rule here).
+    """
+    from functools import partial as _partial
+    p = jax.lax.stop_gradient(p)
+    q = jax.lax.stop_gradient(q)
+    N = p.shape[0]
+    M = q.shape[0]
+    n_pad = -(-N // tile) * tile
+    m_pad = -(-M // tile) * tile
+    I = n_pad // tile
+    J = m_pad // tile
+    assert tile % subtile == 0, (tile, subtile)
+    G = tile // subtile
+    pt = _pad_points_t(p, n_pad)
+    qt = _pad_points_t(q, m_pad)
+
+    vals, args = pl.pallas_call(
+        _partial(_knn_kernel, subtile=subtile),
+        grid=(I, J),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, tile), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((J * G, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((J * G, n_pad), jnp.int32),
+        ],
+    )(pt, qt)
+    # padded q columns carry BIG coordinates -> huge distances, never selected
+    # by the merge top-k (provided M >= k real points, which callers guarantee)
+    return (jax.lax.stop_gradient(vals.T[:N]),
+            jax.lax.stop_gradient(jnp.clip(args.T[:N], 0, M - 1)))

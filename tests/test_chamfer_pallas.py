@@ -40,3 +40,25 @@ def test_fused_chamfer_matches_xla():
     assert np.isclose(float(s_q), float(f_q), rtol=1e-5)
     assert (np.asarray(i_p) == np.asarray(fi_p)).mean() > 0.999
     assert (np.asarray(i_q) == np.asarray(fi_q)).mean() > 0.999
+
+
+@pytest.mark.skipif(not ON_TPU, reason="pallas kernel lowers on TPU only")
+def test_knn_candidates_pallas_matches_xla_path():
+    """The Pallas kNN-candidate kernel must reproduce the XLA subtile-min path
+    exactly (same subtile -> same candidates -> same top-k)."""
+    import os
+    from meshrcnn_tpu.ops.chamfer import knn
+
+    rng = np.random.RandomState(5)
+    p = jnp.asarray(rng.randn(3000, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(2500, 3).astype(np.float32))
+    os.environ["MESHRCNN_FUSED_KNN"] = "0"
+    d_x, i_x = jax.jit(lambda a, b: knn(a, b, 10, tile=512))(p, q)
+    os.environ["MESHRCNN_FUSED_KNN"] = "1"
+    d_p, i_p = jax.jit(lambda a, b: knn(a, b, 10, tile=512))(p, q)
+    os.environ.pop("MESHRCNN_FUSED_KNN")
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), rtol=1e-5, atol=1e-5)
+    # ties can reorder equal-distance candidates; compare index SETS per row
+    ix, ip = np.asarray(i_x), np.asarray(i_p)
+    same = np.mean([set(ix[r]) == set(ip[r]) for r in range(ix.shape[0])])
+    assert same > 0.99, same
