@@ -74,9 +74,10 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
     10k x 2k call; the subtile-min pass is ~free.) Recall vs exact kNN: a true
     neighbour is only lost when two of the top-k share a subtile — ~95% for
     k=10, M=10k, subtile=128; the candidates only feed the PCA-normal estimator,
-    which is insensitive at this level (quantified: see PERFORMANCE.md
-    "Approximate kNN deviation" and tools/quantify_knn.py — normal-loss value
-    within <0.2% and gradient cosine >0.99 vs exact on 2k-10k clouds).
+    which is insensitive at this level (quantified: see PERFORMANCE.md and
+    tools/quantify_knn.py — 0.97 recall, normal-loss value within 0.4% and
+    gradient cosine 0.89-0.92 vs exact on 2k-10k clouds; the loss term carries
+    weight 0 (ShapeNet) or 0.1 (Pix3D) in training).
     ``exact=True`` forces the full top-k path (the reference semantics of
     loss_functions.py:119-122) for validation. Returns (dists [N,k], idx [N,k]).
     """
