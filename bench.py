@@ -56,7 +56,7 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
     return B * n_steps / float(np.median(times)), times
 
 
-def bench_shapenet():
+def bench_shapenet(B=3):
     import jax
     import jax.numpy as jnp
 
@@ -65,7 +65,7 @@ def bench_shapenet():
     from meshrcnn_tpu.models.shapenet import ShapeNetModel
     from meshrcnn_tpu.parallel.train_step import create_train_state, make_train_step
 
-    B, H = 3, 137
+    H = 137
     model = ShapeNetModel(num_classes=13, residual=True, cubify_threshold=0.2,
                           voxel_out_channels=48, vert_capacity=8192,
                           face_capacity=16384, edge_capacity=32768,
@@ -93,7 +93,7 @@ def bench_shapenet():
             "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3)}, times
 
 
-def bench_pix3d():
+def bench_pix3d(B=4):
     import jax
     import jax.numpy as jnp
 
@@ -102,7 +102,7 @@ def bench_pix3d():
     from meshrcnn_tpu.models.pix3d import Pix3DModel
     from meshrcnn_tpu.parallel.train_step import create_train_state, make_train_step
 
-    B, H = 4, 224
+    H = 224
     model = Pix3DModel(num_classes=10, cubify_threshold=0.2,
                        vert_capacity=4096, face_capacity=8192, edge_capacity=16384,
                        num_refinement_stages=3)
@@ -139,14 +139,32 @@ def bench_pix3d():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", choices=["ShapeNet", "Pix3D"], default="ShapeNet")
+    ap.add_argument("--model", choices=["both", "ShapeNet", "Pix3D"], default="both",
+                    help="default 'both' runs the two recipes and prints ONE "
+                         "combined JSON line (ShapeNet as the headline metric, "
+                         "Pix3D under pix3d_* keys) so the driver's plain "
+                         "`python bench.py` captures both models")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="override the recipe batch size (scaling sweeps; "
+                         "headline runs use the reference recipe batch)")
     args = ap.parse_args()
 
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    result, times = bench_pix3d() if args.model == "Pix3D" else bench_shapenet()
-    result["window_s"] = [round(t, 3) for t in times]  # spread evidence
+    if args.model == "ShapeNet":
+        result, times = bench_shapenet(args.batch or 3)
+        result["window_s"] = [round(t, 3) for t in times]
+    elif args.model == "Pix3D":
+        result, times = bench_pix3d(args.batch or 4)
+        result["window_s"] = [round(t, 3) for t in times]
+    else:
+        result, times = bench_shapenet(args.batch or 3)
+        result["window_s"] = [round(t, 3) for t in times]
+        p3d, p3d_times = bench_pix3d(args.batch or 4)
+        result["pix3d_train_samples_per_sec"] = p3d["value"]
+        result["pix3d_vs_baseline"] = p3d["vs_baseline"]
+        result["pix3d_window_s"] = [round(t, 3) for t in p3d_times]
     print(json.dumps(result))
 
 

@@ -75,11 +75,23 @@ def main():
     if options.modelPath:
         try:
             state = load_state(options.modelPath, state)
+            print(f"loaded checkpoint {options.modelPath}")
         except Exception:
             # opt-state structure mismatch (different --train_backbone at train
             # time); inference only needs params/batch_stats
             from meshrcnn_tpu.utils.checkpoint import load_state_partial
-            state, _ = load_state_partial(options.modelPath, state)
+            state, (n_loaded, n_total) = load_state_partial(options.modelPath, state)
+            print(f"partially loaded checkpoint {options.modelPath} "
+                  f"({n_loaded}/{n_total} param leaves)")
+            if n_loaded == 0:
+                # ADVICE r2 finding 4: a totally-failed load must not silently
+                # run inference on random init
+                raise SystemExit(
+                    f"error: no parameters could be loaded from "
+                    f"{options.modelPath} — wrong/corrupt checkpoint?")
+            if n_loaded < n_total:
+                print("warning: some params missing from the checkpoint "
+                      "(voxel-only checkpoint into a full model?)")
 
     out = make_eval_step(model)(state, images)
 

@@ -40,6 +40,18 @@ parser.add_argument("--rpn_post_nms_top_n", type=int, default=512)
 parser.add_argument("--num_devices", type=int, default=None,
                     help="dp mesh size for data-parallel eval "
                          "(default: 1; batchSize must be divisible by it)")
+parser.add_argument("--backbone_dtype", type=str, default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="Pix3D detection-stack compute dtype; 'auto' = bfloat16 "
+                         "on accelerators, float32 on CPU (pin float32 for f32 "
+                         "checkpoints)")
+parser.add_argument("--split_eval", type=str, default="auto",
+                    choices=["auto", "on", "off"],
+                    help="Pix3D only: run the eval forward as three chained XLA "
+                         "programs (detection+voxel | cubify+topo | refinement) "
+                         "instead of one. 'auto' enables it on TPU, where the "
+                         "single-program compilation of cubify together with the "
+                         "refinement stages faults the runtime (ROADMAP.md)")
 
 
 def main():
@@ -49,7 +61,8 @@ def main():
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from meshrcnn_tpu.core.config import CapacityConfig, TrainConfig
+    from meshrcnn_tpu.core.config import (CapacityConfig, TrainConfig,
+                                          resolve_backbone_dtype)
     from meshrcnn_tpu.data.datasets import (SyntheticDataset, dataLoader,
                                             pix3dDataset, shapeNet_Dataset)
     from meshrcnn_tpu.harness import validate, validate_pix3d
@@ -87,10 +100,12 @@ def main():
                            cubify_threshold=options.threshold,
                            vertex_feature_dim=options.featDim,
                            num_refinement_stages=options.num_refinement_stages,
+                           voxel_only=options.voxel_only,
                            vert_capacity=capacities.verts,
                            face_capacity=capacities.faces,
                            edge_capacity=capacities.edges,
-                           rpn_post_nms_top_n=options.rpn_post_nms_top_n)
+                           rpn_post_nms_top_n=options.rpn_post_nms_top_n,
+                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype))
     else:
         from meshrcnn_tpu.models.shapenet import ShapeNetModel
         model = ShapeNetModel(num_classes=13, residual=options.residual,
@@ -121,6 +136,9 @@ def main():
                 safe_print("warning: some eval-model params were not in the "
                            "checkpoint (voxel-only checkpoint into a full model?)")
 
+    split = is_pix3d and not options.voxel_only and (
+        options.split_eval == "on"
+        or (options.split_eval == "auto" and jax.default_backend() != "cpu"))
     n_dev = options.num_devices or 1
     if n_dev > 1:
         # data-parallel eval: batch shards over the dp mesh, outputs merge as
@@ -129,7 +147,13 @@ def main():
         from meshrcnn_tpu.parallel.train_step import make_dp_eval_step
         assert options.batchSize % n_dev == 0, "batchSize must divide over devices"
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
-        eval_step = make_dp_eval_step(model, mesh)
+        eval_step = make_dp_eval_step(model, mesh, split=split)
+    elif split and is_pix3d:
+        # three chained XLA programs — the single-program cubify+refine
+        # compilation faults the TPU runtime (ROADMAP.md "Known issue")
+        from meshrcnn_tpu.parallel.train_step import make_split_eval_step
+        safe_print("using split Pix3D eval dispatch (TPU workaround)")
+        eval_step = make_split_eval_step(model)
     else:
         eval_step = make_eval_step(model)
     validate_fn = validate_pix3d if is_pix3d else validate

@@ -10,6 +10,20 @@ import dataclasses
 from typing import Optional
 
 
+def resolve_backbone_dtype(choice: str) -> str:
+    """Resolve the --backbone_dtype CLI flag to a concrete dtype string.
+
+    'auto' keeps the TPU-fast bfloat16 default on accelerator backends but pins
+    float32 on CPU, so parity runs and checkpoints trained before the bf16
+    default see unchanged numerics (the detection stack's norms, box math and
+    losses are f32 either way — this selects the conv/matmul dtype only).
+    """
+    if choice != "auto":
+        return choice
+    import jax
+    return "float32" if jax.default_backend() == "cpu" else "bfloat16"
+
+
 @dataclasses.dataclass
 class LossWeights:
     """Weighted loss sum keys, matching train_gcn's loss_weights dict

@@ -89,15 +89,17 @@ class pix3dDataset:
                 continue
             # Scan-time non-RGB filter (reference: dataloader.py:111-116 decodes
             # each image and keeps ndim==3 / 3-channel ones, skipping unreadable
-            # files). The PIL mode check is decode-free (header only) and keeps
-            # exactly the same set: mpimg yields a 3-channel array iff the file
-            # is mode "RGB" (grayscale -> 2-D, RGBA/palette/CMYK -> 4-channel).
-            # Matching the filter matters: the seed-42 split indexes the
-            # filtered list (dataloader.py:303-304).
+            # files). The PIL mode check is header-only; the img.load() then
+            # forces a full decode so files whose header says RGB but whose
+            # body is truncated/corrupt are skipped exactly like the
+            # reference's mpimg.imread (which raises on them) — ADVICE r2
+            # finding 2: dropping a different set would shift every index of
+            # the seed-42 shuffled split (dataloader.py:303-304).
             try:
                 with PIL.Image.open(os.path.join(self.root, p["img"])) as img:
                     if img.mode != "RGB":
                         continue
+                    img.load()
             except Exception:
                 continue
             self.records.append(p)

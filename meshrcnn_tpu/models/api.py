@@ -8,6 +8,10 @@ call sites directly:
 
     model = ShapeNetAPI(residual=True, cubify_threshold=0.2)
     losses = model(images, targets)        # train-mode dict of scalar losses
+                                           # (loss EVALUATION only — no update)
+    metrics = model.step(images, targets)  # one jitted optimizer update of
+                                           # model.state (the .backward() +
+                                           # opt.step() analog)
     model.eval()
     preds = model(images)                  # {'backbone', 'voxels',
                                            #  'vertex_positions', 'faces',
@@ -60,6 +64,7 @@ def to_ragged(stage_verts, mesh, mesh_valid=None):
 class _BaseAPI:
     def __init__(self):
         self._training = True
+        self._train_step = None
 
     def train(self):
         self._training = True
@@ -72,6 +77,31 @@ class _BaseAPI:
     @property
     def training(self):
         return self._training
+
+    def step(self, images, targets: Batch) -> dict:
+        """Apply ONE jitted optimizer update to the wrapper's state.
+
+        The TPU analog of the reference's training iteration
+        ``losses = model(images, targets); loss.backward(); optimizer.step()``
+        (reference: utils/train_utils.py:174-250) — train-mode ``__call__`` only
+        *evaluates* the losses and never mutates ``self.state``; this is the
+        call that moves the parameters. Returns the step's metrics dict
+        (losses + grads_finite), with self.state advanced by one step.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if not self._training:
+            raise RuntimeError("step() requires training mode; call .train()")
+        images = jnp.asarray(images)
+        self._ensure_state(images)
+        if self._train_step is None:
+            from meshrcnn_tpu.parallel.train_step import make_train_step
+            self._train_step = jax.jit(make_train_step(self.model, self.config))
+        key = jax.random.fold_in(self._rng, self._step_count)
+        self._step_count += 1
+        self.state, metrics = self._train_step(self.state, targets, key)
+        return metrics
 
 
 class ShapeNetAPI(_BaseAPI):

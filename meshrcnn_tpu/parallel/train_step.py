@@ -307,7 +307,106 @@ def make_eval_step(model) -> Callable:
     return step
 
 
-def make_dp_eval_step(model, mesh: Mesh) -> Callable:
+def make_split_eval_step(model, dp_mesh: Optional[Mesh] = None) -> Callable:
+    """Pix3D eval forward as THREE chained XLA programs instead of one.
+
+    Workaround for the TPU runtime fault documented in ROADMAP.md ("Known
+    issue"): at production shapes, the single compiled program containing both
+    cubify and the VertixRefinePix3D stages reproducibly kills the TPU worker,
+    while each half runs correctly on its own (bisection evidence in
+    tools/debug_tpu_eval_fault/). The split:
+
+      1. detection + voxel branch  (the model with voxel_only=True — identical
+         params/batch_stats tree, the refine subtrees are simply unused),
+      2. cubify + validity masking + ``precompute_adjacency``,
+      3. the refinement stages (models/pix3d.py Pix3DRefineStages, whose scope
+         names alias Pix3DModel's top-level refine{i} params).
+
+    The three jits chain on-device (JAX dispatch is async — no host sync
+    between them), and the assembled Pix3DOutput is element-for-element the
+    single-dispatch result; a CPU test asserts equality. Same (state, images)
+    signature as make_eval_step. With ``dp_mesh`` every phase additionally runs
+    under shard_map over the ``dp`` axis (the split analog of make_dp_eval_step).
+    """
+    from meshrcnn_tpu.models.pix3d import Pix3DOutput, Pix3DRefineStages
+    from meshrcnn_tpu.ops.cubify import cubify
+    from meshrcnn_tpu.ops.graph_conv import precompute_adjacency
+
+    if model.voxel_only:
+        return make_eval_step(model) if dp_mesh is None else _dp_eval(model, dp_mesh)
+    voxel_model = model.clone(voxel_only=True)
+    refine = Pix3DRefineStages(vertex_feature_dim=model.vertex_feature_dim,
+                               num_refinement_stages=model.num_refinement_stages)
+
+    def wrap(fn, in_specs, out_specs):
+        if dp_mesh is None:
+            return jax.jit(fn)
+        return jax.jit(jax.shard_map(fn, mesh=dp_mesh, in_specs=in_specs,
+                                     out_specs=out_specs, check_vma=False))
+
+    detect_phase = wrap(
+        lambda state, images: voxel_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            images, train=False),
+        in_specs=(P(), P("dp")), out_specs=P("dp"))
+
+    def cubify_fn(voxels: jnp.ndarray, mesh_valid: jnp.ndarray):
+        mesh, overflow = cubify(voxels, model.cubify_threshold,
+                                vert_capacity=model.vert_capacity,
+                                face_capacity=model.face_capacity,
+                                edge_capacity=model.edge_capacity)
+        mesh = mesh.replace(
+            verts_mask=mesh.verts_mask & mesh_valid[:, None],
+            faces_mask=mesh.faces_mask & mesh_valid[:, None],
+            edges_mask=mesh.edges_mask & mesh_valid[:, None])
+        topo = precompute_adjacency(mesh.edges, mesh.edges_mask,
+                                    model.vert_capacity)
+        return mesh, topo, overflow
+
+    cubify_phase = wrap(cubify_fn, in_specs=(P("dp"), P("dp")),
+                        out_specs=(P("dp"), P("dp"), P("dp")))
+
+    # one compiled refine program per image size (shard_map has no static args,
+    # so the size is closed over; eval uses a single fixed size in practice)
+    refine_cache: dict = {}
+
+    def get_refine_phase(image_size):
+        if image_size not in refine_cache:
+            refine_cache[image_size] = wrap(
+                lambda params, roi, verts0, topo: refine.apply(
+                    {"params": params}, roi, verts0, topo, image_size),
+                in_specs=(P(), P("dp"), P("dp"), P("dp")), out_specs=P("dp"))
+        return refine_cache[image_size]
+
+    def step(state: TrainState, images: jnp.ndarray):
+        H, W = int(images.shape[1]), int(images.shape[2])
+        out = detect_phase(state, images)
+        B, D = out.detections.valid.shape
+        roi = out.detections.roi_features.reshape(
+            B * D, *out.detections.roi_features.shape[2:])
+        mesh, topo, overflow = cubify_phase(out.voxels, out.mesh_valid)
+        stage_verts = get_refine_phase((H, W))(state.params, roi, mesh.verts, topo)
+        return Pix3DOutput(detections=out.detections, mask_probs=out.mask_probs,
+                           backbone_losses=out.backbone_losses, voxels=out.voxels,
+                           mesh=mesh, stage_verts=stage_verts,
+                           mesh_valid=out.mesh_valid, overflow=overflow)
+
+    return step
+
+
+def _dp_eval(model, mesh: Mesh) -> Callable:
+    def fwd(state: TrainState, images: jnp.ndarray):
+        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           images, train=False)
+
+    sharded = jax.shard_map(fwd, mesh=mesh,
+                            in_specs=(P(), P("dp")),
+                            out_specs=P("dp"),
+                            check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_dp_eval_step(model, mesh: Mesh, split: bool = False) -> Callable:
     """Data-parallel eval forward over the ``dp`` mesh axis.
 
     The TPU analog of the reference's eval-mode merge ``gather_GCN_outputs``
@@ -319,16 +418,13 @@ def make_dp_eval_step(model, mesh: Mesh) -> Callable:
     re-offsetting (gather.py:80-83) has no analog here: every output leaf —
     padded MeshBatch buffers included — is per-sample batch-leading, so
     concatenation along the batch axis IS the merge (SURVEY.md §2.8).
-    """
-    def fwd(state: TrainState, images: jnp.ndarray):
-        return model.apply({"params": state.params, "batch_stats": state.batch_stats},
-                           images, train=False)
 
-    sharded = jax.shard_map(fwd, mesh=mesh,
-                            in_specs=(P(), P("dp")),
-                            out_specs=P("dp"),
-                            check_vma=False)
-    return jax.jit(sharded)
+    ``split=True`` (Pix3D on TPU) routes through make_split_eval_step so the
+    cubify+refine single-program fault workaround composes with DP.
+    """
+    if split:
+        return make_split_eval_step(model, dp_mesh=mesh)
+    return _dp_eval(model, mesh)
 
 
 def shard_batch(batch: Batch, mesh: Mesh) -> Batch:

@@ -98,6 +98,72 @@ def test_pix3d_eval_forward(pix3d_model_state):
     assert (v > 0).all() and (v < 1).all()
 
 
+def test_split_eval_matches_single_dispatch(pix3d_model_state):
+    """The 3-program split eval (TPU fault workaround, ROADMAP.md) must be
+    element-for-element the single-dispatch forward."""
+    from meshrcnn_tpu.parallel.train_step import make_split_eval_step
+    model, config, state, batch = pix3d_model_state
+    ref = make_eval_step(model)(state, batch.images)
+    out = make_split_eval_step(model)(state, batch.images)
+    assert len(out.stage_verts) == len(ref.stage_verts) == 4
+    for a, b in zip(out.stage_verts, ref.stage_verts):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.voxels), np.asarray(ref.voxels),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.mesh.verts_mask),
+                                  np.asarray(ref.mesh.verts_mask))
+    np.testing.assert_array_equal(np.asarray(out.mesh.faces),
+                                  np.asarray(ref.mesh.faces))
+    np.testing.assert_array_equal(np.asarray(out.mesh_valid),
+                                  np.asarray(ref.mesh_valid))
+    np.testing.assert_allclose(np.asarray(out.detections.boxes),
+                               np.asarray(ref.detections.boxes),
+                               rtol=1e-5, atol=2e-5)
+
+
+def test_split_eval_dp_matches_nonsplit_dp(pix3d_model_state):
+    """Split eval composed with data-parallel shard_map (2 of the 8 virtual
+    devices) merges to the same outputs as the non-split DP eval at the same
+    sharding. (Split-vs-single equivalence is pinned by the test above;
+    DP-vs-single is NOT bitwise under a bf16 backbone because conv reduction
+    order changes with the per-device batch, so the DP property is isolated
+    here at identical sharding.)"""
+    from jax.sharding import Mesh
+    from meshrcnn_tpu.parallel.train_step import make_dp_eval_step
+    model, config, state, batch = pix3d_model_state
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    ref = make_dp_eval_step(model, mesh, split=False)(state, batch.images)
+    out = make_dp_eval_step(model, mesh, split=True)(state, batch.images)
+    assert len(out.stage_verts) == len(ref.stage_verts) == 4
+    for a, b in zip(out.stage_verts, ref.stage_verts):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.voxels), np.asarray(ref.voxels),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out.mesh_valid),
+                                  np.asarray(ref.mesh_valid))
+
+
+def test_voxel_only_skips_mesh_branch(pix3d_model_state):
+    """--voxel_only must never build cubify/refinement: no refine params exist
+    and the eval output carries no mesh (VERDICT r2 weak item 1 — the flag now
+    reaches Pix3DModel through eval_model.py)."""
+    model, config, state, batch = pix3d_model_state
+    vo = model.clone(voxel_only=True)
+    variables = vo.init(jax.random.PRNGKey(0), batch.images)
+    assert not any(k.startswith("refine") for k in variables["params"])
+    out = make_eval_step(vo)(state, batch.images)
+    assert out.mesh is None and out.overflow is None
+    assert out.stage_verts == ()
+    assert out.voxels.shape[0] == batch.images.shape[0] * TINY["detections_per_img"]
+    # split factory degrades to the plain eval step for voxel-only models
+    from meshrcnn_tpu.parallel.train_step import make_split_eval_step
+    out2 = make_split_eval_step(vo)(state, batch.images)
+    np.testing.assert_allclose(np.asarray(out2.voxels), np.asarray(out.voxels),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_pix3d_train_step(pix3d_model_state):
     model, config, state, batch = pix3d_model_state
     step = jax.jit(make_train_step(model, config))
@@ -113,3 +179,30 @@ def test_pix3d_train_step(pix3d_model_state):
     p0 = np.asarray(state.params["voxelBranch"]["conv0"]["kernel"])
     p1 = np.asarray(s1.params["voxelBranch"]["conv0"]["kernel"])
     assert not np.allclose(p0, p1)
+
+
+def test_postprocess_per_class_prefilter_resists_saturation():
+    """Duplicate saturation of one class must not evict another class's
+    detection from the pre-NMS candidate set (ADVICE r2 finding 1: the old
+    global score top-K could be filled entirely by one dominant object's
+    near-duplicates)."""
+    from meshrcnn_tpu.models.roi_heads import RoIHeads
+
+    B, R, C = 1, 8, 3                   # 2 foreground classes
+    heads = RoIHeads(num_classes=C, detections_per_img=3,
+                     post_nms_prefilter=8)      # K_c = 8 // 2 = 4 per class
+    # 6 near-duplicate boxes of object X + 1 box of object Y + 1 filler
+    props = np.array([[10., 10., 50., 50.]] * 6
+                     + [[100., 100., 150., 150.]]
+                     + [[0., 0., 5., 5.]], np.float32)[None]
+    logits = np.full((B, R, C), -10.0, np.float32)
+    logits[0, :6, 1] = np.linspace(9.0, 8.0, 6)   # class-1 duplicates dominate
+    logits[0, 6, 2] = 5.0                          # class-2 object, weaker
+    deltas = np.zeros((B, R, C, 4), np.float32)    # boxes == proposals
+    feats = np.zeros((B, R, 4, 4, 2), np.float32)
+    det = heads._postprocess(jnp.asarray(feats), jnp.asarray(logits),
+                             jnp.asarray(deltas), jnp.asarray(props),
+                             jnp.ones((B, R), bool), (224, 224))
+    labels = np.asarray(det.labels[0])[np.asarray(det.valid[0])]
+    # greedy NMS keeps the best class-1 duplicate AND the class-2 object
+    assert 1 in labels and 2 in labels, labels

@@ -78,6 +78,12 @@ parser.add_argument("--grad_clip", type=float, default=0.0,
 parser.add_argument("--no_pix3d_schedule", default=False, action="store_true",
                     help="use --lr directly instead of the reference's Pix3D "
                          "warmup/step schedule")
+parser.add_argument("--backbone_dtype", type=str, default="auto",
+                    choices=["auto", "float32", "bfloat16"],
+                    help="Pix3D detection-stack compute dtype (norms/box-math/"
+                         "losses stay f32). 'auto' = bfloat16 on accelerators, "
+                         "float32 on CPU — pin float32 to evaluate/resume f32 "
+                         "checkpoints bit-stably")
 parser.add_argument("--multihost", default=False, action="store_true",
                     help="initialise jax.distributed for multi-host training "
                          "(grads pmean over ICI+DCN through the same dp axis)")
@@ -96,7 +102,8 @@ def main():
     enable_compilation_cache()
     from jax.sharding import Mesh
 
-    from meshrcnn_tpu.core.config import CapacityConfig, LossWeights, TrainConfig
+    from meshrcnn_tpu.core.config import (CapacityConfig, LossWeights, TrainConfig,
+                                          resolve_backbone_dtype)
     from meshrcnn_tpu.data.datasets import (SyntheticDataset, dataLoader,
                                             pix3dDataset, shapeNet_Dataset)
     from meshrcnn_tpu.harness import train_epoch
@@ -157,7 +164,8 @@ def main():
                            edge_capacity=capacities.edges,
                            rpn_pre_nms_top_n=options.rpn_pre_nms_top_n,
                            rpn_post_nms_top_n=options.rpn_post_nms_top_n,
-                           roi_batch_size=options.roi_batch_size)
+                           roi_batch_size=options.roi_batch_size,
+                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype))
     else:
         from meshrcnn_tpu.models.shapenet import ShapeNetModel
         model = ShapeNetModel(num_classes=13, residual=options.residual,
