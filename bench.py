@@ -33,7 +33,8 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
 
     Median over >=5 windows rather than best-of-3 (VERDICT r1 weak item 1): the
     tunneled chip is shared and its effective bandwidth fluctuates, so a single
-    best window overstates robust throughput. Returns (samples/s, window times).
+    best window overstates robust throughput. Returns (samples/s, window times,
+    flops_per_step from the compiled executable's cost analysis, or None).
     """
     import jax
 
@@ -45,7 +46,19 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(body, state, keys)
 
-    s1, losses = run_steps(state, key)      # warmup / compile
+    flops = None
+    try:
+        compiled = run_steps.lower(state, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        if f > 0:
+            flops = f / n_steps
+    except Exception:
+        pass
+
+    s1, losses = run_steps(state, key)      # warmup (compile cached from above)
     jax.block_until_ready(losses)
     times = []
     for w in range(windows):
@@ -53,7 +66,22 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
         s1, losses = run_steps(s1, jax.random.fold_in(key, w + 1))
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
-    return B * n_steps / float(np.median(times)), times
+    return B * n_steps / float(np.median(times)), times, flops
+
+
+def mfu_fields(times, flops_per_step, n_steps=20, peak_tflops=197.0):
+    """Model FLOPs utilization vs the bf16 MXU peak (TPU v5e: ~197 TFLOP/s).
+
+    The compiler's cost analysis counts every HLO flop (f32 and bf16 alike), so
+    this is an upper-ish bound on useful work / peak — standard MFU accounting.
+    """
+    if flops_per_step is None:
+        return {}
+    step_s = float(np.median(times)) / n_steps
+    achieved = flops_per_step / step_s
+    return {"flops_per_step": round(flops_per_step / 1e9, 2),  # GFLOP
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "mfu_pct_vs_bf16_peak": round(100.0 * achieved / (peak_tflops * 1e12), 2)}
 
 
 def bench_shapenet(B=3):
@@ -87,10 +115,11 @@ def bench_shapenet(B=3):
 
     state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
     step = make_train_step(model, config)
-    sps, times = measure(step, state, batch, jax.random.PRNGKey(1), B)
+    sps, times, flops = measure(step, state, batch, jax.random.PRNGKey(1), B)
     return {"metric": "shapenet_train_samples_per_sec",
             "value": round(sps, 3), "unit": "samples/s",
-            "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3)}, times
+            "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 3),
+            **mfu_fields(times, flops)}, times
 
 
 def bench_pix3d(B=4):
@@ -131,10 +160,11 @@ def bench_pix3d(B=4):
 
     state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
     step = make_train_step(model, config)
-    sps, times = measure(step, state, batch, jax.random.PRNGKey(1), B)
+    sps, times, flops = measure(step, state, batch, jax.random.PRNGKey(1), B)
     return {"metric": "pix3d_train_samples_per_sec",
             "value": round(sps, 3), "unit": "samples/s",
-            "vs_baseline": round(sps / PIX3D_BASELINE_SAMPLES_PER_SEC, 3)}, times
+            "vs_baseline": round(sps / PIX3D_BASELINE_SAMPLES_PER_SEC, 3),
+            **mfu_fields(times, flops)}, times
 
 
 def main():
@@ -165,6 +195,9 @@ def main():
         result["pix3d_train_samples_per_sec"] = p3d["value"]
         result["pix3d_vs_baseline"] = p3d["vs_baseline"]
         result["pix3d_window_s"] = [round(t, 3) for t in p3d_times]
+        for k in ("flops_per_step", "achieved_tflops", "mfu_pct_vs_bf16_peak"):
+            if k in p3d:
+                result[f"pix3d_{k}"] = p3d[k]
     print(json.dumps(result))
 
 

@@ -101,12 +101,43 @@ def _sorted_segment_sum(contrib: jnp.ndarray, starts: jnp.ndarray,
     return batched_gather_rows(s, ends) - batched_gather_rows(s, starts)
 
 
-def _aggregate_impl(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
+# Largest batch the one-program two-direction aggregation is known safe at on
+# the XLA:TPU runtime. At B=12 (Pix3D eval: 4 images x 3 detections) the
+# compiled gather->blocked-cumsum->boundary-gather pipeline for BOTH edge
+# directions in one program reproducibly faults the TPU worker, while B<=8 and
+# per-sample lax.map run fine — bisected op-by-op with synthetic benign inputs
+# (tools/debug_tpu_eval_fault/refine_ops.py: aggonly faults, aggonly4/8 pass,
+# every sub-op alone passes, an optimization barrier does NOT help, lax.map
+# does). Shape-triggered runtime bug, data-independent; chunking to the proven
+# training shape is the program-level workaround (ROADMAP.md "Known issue").
+_AGG_SAFE_BATCH = 8
+_AGG_CHUNK = 4
+
+
+def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
     out = _sorted_segment_sum(batched_gather_rows(feats, topo.src_lo),
                               topo.starts_lo, topo.ends_lo)
     out = out + _sorted_segment_sum(batched_gather_rows(feats, topo.src_hi),
                                     topo.starts_hi, topo.ends_hi)
     return out
+
+
+def _aggregate_impl(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
+    B = feats.shape[0]
+    if B <= _AGG_SAFE_BATCH:
+        return _aggregate_one_chunk(feats, topo)
+    # lax.map over sub-batches of the known-good training shape; zero-padded
+    # tail samples have empty segments (starts = ends = 0) and produce zeros
+    nc = -(-B // _AGG_CHUNK)
+    pad = nc * _AGG_CHUNK - B
+    f = jnp.pad(feats, ((0, pad), (0, 0), (0, 0)))
+    t = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, ((0, pad), (0, 0))), topo)
+    f = f.reshape(nc, _AGG_CHUNK, *feats.shape[1:])
+    t = jax.tree_util.tree_map(
+        lambda a: a.reshape(nc, _AGG_CHUNK, a.shape[-1]), t)
+    out = jax.lax.map(lambda args: _aggregate_one_chunk(*args), (f, t))
+    return out.reshape(nc * _AGG_CHUNK, *out.shape[2:])[:B]
 
 
 @jax.custom_vjp

@@ -290,3 +290,50 @@ def test_batched_compute_normals_lax_map_grads():
         np.testing.assert_allclose(np.abs(n_b[b]), np.abs(n_s), atol=1e-5)
     g = jax.grad(lambda x: jnp.sum(batched_compute_normals(x, k=6, tile=256)))(pts)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_aggregate_large_batch_chunking():
+    """B > 8 routes through the chunked lax.map path (TPU worker-fault
+    workaround, ROADMAP.md); outputs must equal the single-program path and
+    gradients must flow through the custom VJP identically."""
+    from meshrcnn_tpu.ops.graph_conv import (_AGG_SAFE_BATCH,
+                                             _aggregate_one_chunk,
+                                             aggregate_neighbours,
+                                             precompute_adjacency)
+
+    rng = np.random.RandomState(5)
+    B, V, E, C = 12, 64, 128, 16
+    assert B > _AGG_SAFE_BATCH
+    edges = rng.randint(0, V, (B, E, 2)).astype(np.int32)
+    mask = rng.rand(B, E) > 0.3
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    topo = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+
+    out = aggregate_neighbours(feats, topo)
+    ref = _aggregate_one_chunk(feats, topo)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    g = jax.grad(lambda f: jnp.sum(aggregate_neighbours(f, topo) ** 2))(feats)
+    g_ref = jax.grad(lambda f: jnp.sum(_aggregate_one_chunk(f, topo) ** 2))(feats)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_aggregate_chunking_non_divisible_batch():
+    """B=10 pads to 12 (chunk 4); the padded tail must not leak into outputs."""
+    from meshrcnn_tpu.ops.graph_conv import (_aggregate_one_chunk,
+                                             aggregate_neighbours,
+                                             precompute_adjacency)
+
+    rng = np.random.RandomState(6)
+    B, V, E, C = 10, 32, 64, 8
+    edges = rng.randint(0, V, (B, E, 2)).astype(np.int32)
+    mask = rng.rand(B, E) > 0.5
+    feats = jnp.asarray(rng.randn(B, V, C).astype(np.float32))
+    topo = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+    out = aggregate_neighbours(feats, topo)
+    ref = _aggregate_one_chunk(feats, topo)
+    assert out.shape == (B, V, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

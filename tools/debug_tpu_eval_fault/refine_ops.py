@@ -99,6 +99,52 @@ elif name == "cumsum4":
     from meshrcnn_tpu.ops.graph_conv import _blocked_cumsum
     x = jnp.asarray(r.randn(4, E, 128).astype(np.float32))
     fn = lambda: _blocked_cumsum(x).sum()
+elif name == "aggonly1":
+    x = jnp.asarray(r.randn(1, V, 128).astype(np.float32))
+    t1 = jax.tree_util.tree_map(lambda a: a[:1], topo)
+    fn = lambda: aggregate_neighbours(x, t1).sum()
+elif name == "agg_laxmap":
+    # per-sample lax.map over the batch — workaround candidate if the fault is
+    # batch-size-triggered
+    x = jnp.asarray(r.randn(N, V, 128).astype(np.float32))
+    def fn():
+        def one(args):
+            xi, ti = args
+            return aggregate_neighbours(xi[None], ti)[0]
+        t_map = jax.tree_util.tree_map(lambda a: a[:, None, :], topo)
+        out = jax.lax.map(one, (x, t_map))
+        return out.sum()
+elif name == "cumsum_c8":
+    # C=8 at N=12 (the pieces_real shape that passed inside a larger program)
+    from meshrcnn_tpu.ops.graph_conv import _blocked_cumsum
+    x = jnp.asarray(r.randn(N, E, 8).astype(np.float32))
+    fn = lambda: _blocked_cumsum(x).sum()
+elif name == "cumsum_jnp":
+    # plain jnp.cumsum formulation at the faulting shape — workaround candidate
+    x = jnp.asarray(r.randn(N, E, 128).astype(np.float32))
+    fn = lambda: jnp.cumsum(x, axis=1).sum()
+elif name == "aggdir":
+    # ONE direction of aggregate (gather -> cumsum -> boundary gathers), N=12
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+    from meshrcnn_tpu.ops.graph_conv import _sorted_segment_sum
+    x = jnp.asarray(r.randn(N, V, 128).astype(np.float32))
+    fn = lambda: _sorted_segment_sum(batched_gather_rows(x, topo.src_lo),
+                                     topo.starts_lo, topo.ends_lo).sum()
+elif name == "agg_barrier":
+    # full aggregate with an optimization barrier between the source gather and
+    # the blocked cumsum: if the fault is the gather+tri-einsum fusion, this is
+    # the production fix
+    from meshrcnn_tpu.ops.gather import batched_gather_rows
+    from meshrcnn_tpu.ops.graph_conv import _sorted_segment_sum
+    x = jnp.asarray(r.randn(N, V, 128).astype(np.float32))
+    def fn():
+        out = None
+        for src, st, en in ((topo.src_lo, topo.starts_lo, topo.ends_lo),
+                            (topo.src_hi, topo.starts_hi, topo.ends_hi)):
+            c = jax.lax.optimization_barrier(batched_gather_rows(x, src))
+            s = _sorted_segment_sum(c, st, en)
+            out = s if out is None else out + s
+        return out.sum()
 elif name == "align1":
     def fn():
         al = vert_align([roi], verts, (224, 224))
