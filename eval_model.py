@@ -49,9 +49,10 @@ parser.add_argument("--split_eval", type=str, default="auto",
                     choices=["auto", "on", "off"],
                     help="Pix3D only: run the eval forward as three chained XLA "
                          "programs (detection+voxel | cubify+topo | refinement) "
-                         "instead of one. 'auto' enables it on TPU, where the "
-                         "single-program compilation of cubify together with the "
-                         "refinement stages faults the runtime (ROADMAP.md)")
+                         "instead of one. Since the round-3 chunked-aggregation "
+                         "fix (ROADMAP.md) the single dispatch runs fine on TPU "
+                         "and is faster, so 'auto' = off; 'on' is kept as a "
+                         "debugging/robustness fallback")
 
 
 def main():
@@ -136,9 +137,7 @@ def main():
                 safe_print("warning: some eval-model params were not in the "
                            "checkpoint (voxel-only checkpoint into a full model?)")
 
-    split = is_pix3d and not options.voxel_only and (
-        options.split_eval == "on"
-        or (options.split_eval == "auto" and jax.default_backend() != "cpu"))
+    split = is_pix3d and not options.voxel_only and options.split_eval == "on"
     n_dev = options.num_devices or 1
     if n_dev > 1:
         # data-parallel eval: batch shards over the dp mesh, outputs merge as
@@ -149,10 +148,11 @@ def main():
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
         eval_step = make_dp_eval_step(model, mesh, split=split)
     elif split and is_pix3d:
-        # three chained XLA programs — the single-program cubify+refine
-        # compilation faults the TPU runtime (ROADMAP.md "Known issue")
+        # three chained XLA programs (debug/robustness fallback; the round-3
+        # chunked-aggregation fix made the single dispatch work on TPU —
+        # ROADMAP.md "RESOLVED in round 3")
         from meshrcnn_tpu.parallel.train_step import make_split_eval_step
-        safe_print("using split Pix3D eval dispatch (TPU workaround)")
+        safe_print("using split Pix3D eval dispatch")
         eval_step = make_split_eval_step(model)
     else:
         eval_step = make_eval_step(model)
