@@ -40,9 +40,14 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
 
     @jax.jit
     def run_steps(state, key):
+        # keep EVERY metric alive (the real train loop consumes them all):
+        # returning only the loss lets XLA dead-code-eliminate unweighted
+        # metric pipelines and under-measures the step (found in the round-3
+        # normal-gating A/B, where "with normal metric" timed identically
+        # because the metric had been DCE'd out of the benchmark program).
         def body(s, k):
             s2, metrics = step(s, batch, k)
-            return s2, metrics["loss"]
+            return s2, metrics
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(body, state, keys)
 
@@ -84,12 +89,23 @@ def mfu_fields(times, flops_per_step, n_steps=20, peak_tflops=197.0):
             "mfu_pct_vs_bf16_peak": round(100.0 * achieved / (peak_tflops * 1e12), 2)}
 
 
-def bench_shapenet(B=3):
+def bench_shapenet(B=3, report_unweighted=False):
+    """ShapeNet train-step throughput at the reference airplane recipe.
+
+    The recipe's loss weights are voxel=1 / chamfer=1 / normal=0 / edge=0.5
+    (reference README.md:77; BASELINE.md) — and this framework statically elides
+    loss terms whose weight is 0 (train_step._weighted_mesh_total +
+    losses.mesh_loss compute_normal), so the headline run does NOT pay the
+    kNN/PCA normal pipeline, exactly as a recipe user wouldn't. The reference
+    computed (and discarded) the normal value anyway; report_unweighted=True
+    reproduces that (forward-computed metric, weight 0 in the total) for the
+    conservative apples-to-apples variant, reported as a secondary field.
+    """
     import jax
     import jax.numpy as jnp
 
     from meshrcnn_tpu.core.batch import Batch
-    from meshrcnn_tpu.core.config import TrainConfig
+    from meshrcnn_tpu.core.config import LossWeights, TrainConfig
     from meshrcnn_tpu.models.shapenet import ShapeNetModel
     from meshrcnn_tpu.parallel.train_step import create_train_state, make_train_step
 
@@ -100,7 +116,10 @@ def bench_shapenet(B=3):
                           num_refinement_stages=3)
     config = TrainConfig(optimizer="adam", lr=1e-4, weight_decay=0.0, batch_size=B,
                          point_cloud_size=10000, normal_k=10, distance_tile=2048,
-                         train_backbone=False)
+                         train_backbone=False,
+                         report_unweighted_losses=report_unweighted,
+                         loss_weights=LossWeights(voxel=1.0, chamfer=1.0,
+                                                  normal=0.0, edge=0.5))
     rng = np.random.RandomState(0)
     # synthetic batch at the exact training shapes (airplane-recipe scale)
     gt_v, gt_f = 2048, 4096
@@ -191,6 +210,10 @@ def main():
     else:
         result, times = bench_shapenet(args.batch or 3)
         result["window_s"] = [round(t, 3) for t in times]
+        # same-session secondary: recipe with the normal metric force-computed
+        # (the reference computed-and-discarded it; weight stays 0 in the total)
+        with_n, _ = bench_shapenet(args.batch or 3, report_unweighted=True)
+        result["shapenet_with_normal_term_sps"] = with_n["value"]
         p3d, p3d_times = bench_pix3d(args.batch or 4)
         result["pix3d_train_samples_per_sec"] = p3d["value"]
         result["pix3d_vs_baseline"] = p3d["vs_baseline"]

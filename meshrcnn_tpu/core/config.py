@@ -93,5 +93,11 @@ class TrainConfig:
     # reporting it via the grads_finite metric (the jit-safe analog of the
     # reference's try/except batch skip, train_utils.py:202-205)
     skip_nonfinite: bool = True
+    # Loss terms with weight 0 are statically elided from the train step (they
+    # contribute nothing to gradients; the normal term's kNN+PCA pipeline costs
+    # ~70 ms of a ~350 ms ShapeNet step). Set True to force-compute them anyway
+    # so their values appear in the step metrics — the reference's behavior
+    # (mesh_loss computes everything; train_gcn weights it, train_utils.py:208-225).
+    report_unweighted_losses: bool = False
     seed: int = 0
     num_devices: Optional[int] = None  # None = all local devices

@@ -61,11 +61,54 @@ class ResGraphConv(nn.Module):
         return skip + out
 
 
+class _LevelProjector(nn.Module):
+    """One [sum(C_l), F] no-bias kernel applied level-wise to a feature-map list.
+
+    Parameter path and shape are IDENTICAL to ``nn.Dense(F, use_bias=False)``
+    applied to the channel-concat of the gathered levels (kernel [total, F],
+    lecun_normal init), so checkpoints are interchangeable between the two
+    dataflows. Because the projection has no bias and bilinear sampling is
+    linear, ``Dense(vert_align(maps, concat))`` == ``vert_align(maps @ W_l
+    slices, sum)`` exactly (up to float association) — but projecting the MAPS
+    first costs ~sum(Hf*Wf*C_l)*F MACs (~0.16 GFLOP for the ShapeNet pyramid)
+    instead of V*total*F (~8 GFLOP at V=8192), gathers 30x fewer channels, and
+    never materialises the [B, V, 3840] tensor whose storage for the Dense
+    backward dominated train-step memory (B=12 OOM'd a 16 GB chip before this;
+    PERFORMANCE.md round 3).
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, feature_maps: Sequence[jnp.ndarray]):
+        total = sum(fm.shape[-1] for fm in feature_maps)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (total, self.features))
+        outs, off = [], 0
+        for fm in feature_maps:
+            c = fm.shape[-1]
+            outs.append(jnp.einsum("bhwc,cf->bhwf", fm, kernel[off:off + c]))
+            off += c
+        return outs
+
+
+def _project_align(feature_maps, verts, image_size, features: int, name: str):
+    """Env-gated projection+alignment (A/B: MESHRCNN_PROJECT_FIRST=0 restores
+    the reference-ordered gather-then-Dense dataflow; params identical)."""
+    import os
+    if os.environ.get("MESHRCNN_PROJECT_FIRST", "1") == "1":
+        projected_maps = _LevelProjector(features, name=name)(feature_maps)
+        return vert_align(projected_maps, verts, image_size, combine="sum")
+    aligned = vert_align(feature_maps, verts, image_size)
+    return nn.Dense(features, use_bias=False, name=name)(aligned)
+
+
 class ResVertixRefineShapenet(nn.Module):
     """Residual ShapeNet refinement cell (reference: layers.py:103-178).
 
     VertAlign -> Dense(alignment->num_features) -> concat[feats?, pos, projected]
     -> 3x ResGraphConv -> GraphConv(->3) -> tanh -> additive position update.
+    (The VertAlign/Dense pair runs project-then-align — see _LevelProjector.)
     """
 
     use_input_features: bool = True
@@ -76,8 +119,8 @@ class ResVertixRefineShapenet(nn.Module):
     def __call__(self, feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
                  topo, image_size: tuple[int, int],
                  vert_feats: Optional[jnp.ndarray] = None):
-        aligned = vert_align(feature_maps, verts, image_size)
-        projected = nn.Dense(self.num_features, use_bias=False, name="linear")(aligned)
+        projected = _project_align(feature_maps, verts, image_size,
+                                   self.num_features, "linear")
         parts = [verts, projected]
         if vert_feats is not None:
             assert self.use_input_features
@@ -108,8 +151,8 @@ class VertixRefineShapeNet(nn.Module):
     def __call__(self, feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
                  topo, image_size: tuple[int, int],
                  vert_feats: Optional[jnp.ndarray] = None):
-        aligned = vert_align(feature_maps, verts, image_size)
-        projected = nn.Dense(self.num_features, use_bias=False, name="linear0")(aligned)
+        projected = _project_align(feature_maps, verts, image_size,
+                                   self.num_features, "linear0")
         parts = [verts, projected]
         if vert_feats is not None:
             assert self.use_input_features

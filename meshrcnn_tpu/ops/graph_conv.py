@@ -71,13 +71,26 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
                         src_hi=src_hi, starts_hi=starts_hi, ends_hi=ends_hi)
 
 
-def _blocked_cumsum(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+def _cumsum_block() -> int:
+    """Trace-time block size for the prefix-sum matmul (A/B: MESHRCNN_CUMSUM_BLOCK).
+
+    The MAC cost of the lower-triangular matmul scales linearly with the block
+    size; 128 is exactly one MXU tile and quarters the FLOPs vs the original
+    512 (same-session A/B in PERFORMANCE.md round 3 picked the default).
+    """
+    import os
+    return int(os.environ.get("MESHRCNN_CUMSUM_BLOCK", "128"))
+
+
+def _blocked_cumsum(x: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
     """Prefix sum over axis 1 of [B, E, C] as one MXU pass.
 
     XLA lowers jnp.cumsum to a log-depth scan (~15 full-array passes at E=32k);
     a lower-triangular matmul per block + a tiny cross-block offset cumsum does it
     in a single pass and runs on the MXU instead of the VPU.
     """
+    if block is None:
+        block = _cumsum_block()
     B, E, C = x.shape
     nb = -(-E // block)
     pad = nb * block - E

@@ -65,13 +65,22 @@ def mesh_loss(key: jax.Array,
               gt_verts: jnp.ndarray, gt_faces: jnp.ndarray, gt_faces_mask: jnp.ndarray,
               point_cloud_size: int = 10000,
               num_neighbours: int = 10,
-              tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+              tile: int = 2048,
+              compute_normal: bool = True) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Chamfer / normal / edge losses for one refinement stage.
 
     Reference: loss_functions.py:40-74. ``pred_verts`` [B,V,3] are this stage's
     positions on the topology of ``pred_mesh`` (faces/edges from cubify); GT meshes
     come padded from the data layer. Both clouds are re-sampled here with fresh
     randomness, as the reference does per stage.
+
+    ``compute_normal=False`` statically skips the kNN + PCA-normal pipeline and
+    returns 0.0 for the normal term. The train step sets it from the recipe's
+    normal weight: with weight 0 (the reference's ShapeNet recipe, README.md:77)
+    the normal value would be computed purely to be *reported*, and on TPU that
+    pipeline (kNN candidate kernel + merges + eigensolver, both clouds x 3
+    stages) profiles at ~70 ms of a ~350 ms step. Eval paths keep computing it —
+    there it is a real metric.
     """
     e_loss = edge_loss(pred_verts, pred_mesh.edges, pred_mesh.edges_mask)
 
@@ -86,23 +95,32 @@ def mesh_loss(key: jax.Array,
     use_fused = (jax.default_backend() == "tpu"
                  and os.environ.get("MESHRCNN_FUSED_CHAMFER", "1") == "1")
     if use_fused:
-        # fused bidirectional Pallas kernel: one tile sweep yields both
-        # directions. lax.map (scan) over the batch compiles the kernel call
-        # once regardless of B (VERDICT r2 weak item 6); the kernel grid stays
-        # per-sample, so nothing legalises away.
-        from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused
-        cham_p, idx_p, cham_g, idx_g = jax.lax.map(
-            lambda pg: chamfer_sums_fused(pg[0], pg[1]), (cloud_p, cloud_g))
+        if os.environ.get("MESHRCNN_BATCHED_CHAMFER", "1") == "1":
+            # fused bidirectional Pallas kernel with the batch folded into the
+            # kernel grid: one launch for all B samples, compiled once
+            # regardless of B (VERDICT r2 weak item 6). The lax.map wrapper it
+            # replaces cost ~6.7 ms/stage of scan-carry dynamic-slice traffic
+            # on top of ~6.3 ms of kernel time (hlo_stats, PERFORMANCE.md r3).
+            from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused_batched
+            cham_p, idx_p, cham_g, idx_g = chamfer_sums_fused_batched(cloud_p, cloud_g)
+        else:
+            # A/B fallback: per-sample kernel under lax.map (pre-r3 shape)
+            from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused
+            cham_p, idx_p, cham_g, idx_g = jax.lax.map(
+                lambda pg: chamfer_sums_fused(pg[0], pg[1]), (cloud_p, cloud_g))
     else:
         # XLA fallback: two independent tiled NN sweeps (vmap-safe matmul + min)
         def per_sample_nn(p, g):
             return chamfer_distance(p, g, tile)
 
         cham_p, idx_p, cham_g, idx_g = jax.vmap(per_sample_nn)(cloud_p, cloud_g)
-    align_p, align_g = batched_normal_distance(cloud_p, cloud_g, idx_p, idx_g,
-                                               k=num_neighbours, tile=tile)
     chamfer = jnp.sum((cham_p + cham_g) * valid) / point_cloud_size
-    normal = -jnp.sum((align_p + align_g) * valid) / point_cloud_size
+    if compute_normal:
+        align_p, align_g = batched_normal_distance(cloud_p, cloud_g, idx_p, idx_g,
+                                                   k=num_neighbours, tile=tile)
+        normal = -jnp.sum((align_p + align_g) * valid) / point_cloud_size
+    else:
+        normal = jnp.zeros((), dtype=jnp.float32)
     return chamfer, normal, e_loss
 
 
@@ -113,13 +131,14 @@ def batched_mesh_loss(key: jax.Array,
                       gt_faces_mask: jnp.ndarray,
                       point_cloud_size: int = 10000,
                       num_neighbours: int = 10,
-                      tile: int = 2048) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                      tile: int = 2048,
+                      compute_normal: bool = True) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sum of mesh_loss over every refinement stage (reference: loss_functions.py:17-37)."""
     chamfer = normal = edge = 0.0
     for i, verts in enumerate(stage_verts):
         k = jax.random.fold_in(key, i)
         c, n, e = mesh_loss(k, verts, pred_mesh, gt_verts, gt_faces, gt_faces_mask,
-                            point_cloud_size, num_neighbours, tile)
+                            point_cloud_size, num_neighbours, tile, compute_normal)
         chamfer = chamfer + c
         normal = normal + n
         edge = edge + e

@@ -73,7 +73,7 @@ def _bilinear_sample_batched(fmap: jnp.ndarray, rows: jnp.ndarray,
 
 
 def vert_align(feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
-               image_size: tuple[int, int]) -> jnp.ndarray:
+               image_size: tuple[int, int], combine: str = "concat") -> jnp.ndarray:
     """Pool image features at projected vertex locations.
 
     Args:
@@ -81,9 +81,14 @@ def vert_align(feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
         giving sum(C_l) = 3840 for ShapeNet, or one [B, 12, 12, 256] RoI map for Pix3D).
       verts: [B, Vmax, 3] padded vertex positions.
       image_size: (H, W) of the original image.
+      combine: "concat" channels across levels (reference semantics), or "sum"
+        them (requires equal C_l) — the latter serves the project-then-align
+        refinement cells, where each level has already been projected to the
+        cell width and Dense(concat) == sum of per-level projections.
 
     Returns:
-      [B, Vmax, sum(C_l)] pooled features (padded rows contain junk; mask downstream).
+      [B, Vmax, sum(C_l)] ("concat") or [B, Vmax, C] ("sum") pooled features
+      (padded rows contain junk; mask downstream).
     """
     h, w = project_verts(verts, image_size)       # [B, V] each
     H, W = image_size
@@ -94,4 +99,9 @@ def vert_align(feature_maps: Sequence[jnp.ndarray], verts: jnp.ndarray,
         rows = jnp.clip(h / (float(H) / Hf), 0.0, Hf - 1)
         cols = jnp.clip(w / (float(W) / Wf), 0.0, Wf - 1)
         feats.append(_bilinear_sample_batched(fm, rows, cols))
+    if combine == "sum":
+        out = feats[0]
+        for f in feats[1:]:
+            out = out + f
+        return out
     return jnp.concatenate(feats, axis=-1)

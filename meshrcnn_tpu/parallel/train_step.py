@@ -111,11 +111,15 @@ def shapenet_loss_fn(model, config: TrainConfig, params, batch_stats,
         total = total + w.backbone * b_loss
 
     if not model.voxel_only:
+        # compute_normal: with a zero normal weight the kNN + PCA pipeline would
+        # run purely to report a metric (~70 ms of a ~350 ms step on TPU);
+        # skip it statically and report normal_loss = 0.0 (PERFORMANCE.md r3).
         chamfer, normal, edge = batched_mesh_loss(
             key, list(out.stage_verts[1:]), out.mesh,
             batch.gt_verts, batch.gt_faces, batch.gt_faces_mask,
             point_cloud_size=config.point_cloud_size,
-            num_neighbours=config.normal_k, tile=config.distance_tile)
+            num_neighbours=config.normal_k, tile=config.distance_tile,
+            compute_normal=bool(w.normal) or config.report_unweighted_losses)
         metrics.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
         total = _weighted_mesh_total(total, w, chamfer, normal, edge)
         metrics["overflow"] = (out.overflow.verts + out.overflow.faces
@@ -173,7 +177,8 @@ def pix3d_loss_fn(model, config: TrainConfig, params, batch_stats,
             k_mesh, list(out.stage_verts[1:]), out.mesh,
             batch.gt_verts, batch.gt_faces, batch.gt_faces_mask,
             point_cloud_size=config.point_cloud_size,
-            num_neighbours=config.normal_k, tile=config.distance_tile)
+            num_neighbours=config.normal_k, tile=config.distance_tile,
+            compute_normal=bool(w.normal) or config.report_unweighted_losses)
         metrics.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
         total = _weighted_mesh_total(total, w, chamfer, normal, edge)
         metrics["overflow"] = (out.overflow.verts + out.overflow.faces

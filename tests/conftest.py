@@ -11,11 +11,17 @@ after import.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("MESHRCNN_TEST_TPU", "0") != "1":
+    # default: CPU backend with 8 virtual devices (most tests; CI-safe)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
+# MESHRCNN_TEST_TPU=1 leaves the session backend alone so the TPU-gated tests
+# (Pallas kernels; skipif on jax.default_backend()) run on the real chip:
+#   MESHRCNN_TEST_TPU=1 python -m pytest tests/test_chamfer_pallas.py -q

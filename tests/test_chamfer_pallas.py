@@ -62,3 +62,39 @@ def test_knn_candidates_pallas_matches_xla_path():
     ix, ip = np.asarray(i_x), np.asarray(i_p)
     same = np.mean([set(ix[r]) == set(ip[r]) for r in range(ix.shape[0])])
     assert same > 0.99, same
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernel requires TPU hardware")
+def test_batched_fused_matches_per_sample():
+    """The batched-grid kernel must match per-sample chamfer_sums_fused exactly
+    (same tile math, same traversal order), values and gradients."""
+    from meshrcnn_tpu.ops.chamfer_pallas import (chamfer_sums_fused,
+                                                 chamfer_sums_fused_batched)
+
+    rng = np.random.RandomState(1)
+    B, N, M = 3, 1500, 1200
+    p = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    single = jax.jit(chamfer_sums_fused)        # jit once; reused per sample
+    s_p, i_p, s_q, i_q = jax.jit(chamfer_sums_fused_batched)(p, q)
+    for b in range(B):
+        e_p, ei_p, e_q, ei_q = single(p[b], q[b])
+        assert np.isclose(float(s_p[b]), float(e_p), rtol=1e-6)
+        assert np.isclose(float(s_q[b]), float(e_q), rtol=1e-6)
+        assert np.array_equal(np.asarray(i_p[b]), np.asarray(ei_p))
+        assert np.array_equal(np.asarray(i_q[b]), np.asarray(ei_q))
+
+    def tot_b(p, q):
+        s1, _, s2, _ = chamfer_sums_fused_batched(p, q)
+        return jnp.sum(s1 + s2)
+
+    def tot_s(p, q):
+        s1, _, s2, _ = chamfer_sums_fused(p, q)
+        return s1 + s2
+
+    grad_s = jax.jit(jax.grad(tot_s, argnums=(0, 1)))
+    gb_p, gb_q = jax.jit(jax.grad(tot_b, argnums=(0, 1)))(p, q)
+    for b in range(B):
+        gs_p, gs_q = grad_s(p[b], q[b])
+        np.testing.assert_allclose(np.asarray(gb_p[b]), np.asarray(gs_p), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gb_q[b]), np.asarray(gs_q), rtol=1e-5)

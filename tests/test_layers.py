@@ -114,3 +114,46 @@ def test_backbone_pyramid_shapes():
     for i, fm in enumerate(fmaps):
         mul = 2 ** (i + 2)
         assert fm.shape == (2, H // mul, H // mul, 64 * mul)
+
+
+def test_project_first_matches_gather_first():
+    """Project-then-align == gather-then-Dense with the SAME params (the no-bias
+    projection commutes with bilinear sampling; PERFORMANCE.md round 3). Also
+    pins checkpoint compatibility: one param pytree drives both dataflows."""
+    import os
+    key = jax.random.PRNGKey(5)
+    B, V = 2, 64
+    _, _, topo = ring_topology(V, batch=B)
+    verts = jax.random.uniform(key, (B, V, 3), minval=1.0, maxval=30.0)
+    fmaps = _pyramid(key, B)
+
+    for cls in (ResVertixRefineShapenet, VertixRefineShapeNet):
+        cell = cls(use_input_features=False, num_features=128)
+        outs = {}
+        grads = {}
+        for flag in ("1", "0"):
+            os.environ["MESHRCNN_PROJECT_FIRST"] = flag
+            try:
+                if "params" not in outs:
+                    params = cell.init(jax.random.PRNGKey(1), fmaps, verts,
+                                       topo, (137, 137))
+                    outs["params"] = params
+                v, f = cell.apply(outs["params"], fmaps, verts, topo, (137, 137))
+
+                def loss(p):
+                    v2, f2 = cell.apply(p, fmaps, verts, topo, (137, 137))
+                    return jnp.sum(v2 ** 2) + jnp.sum(f2 ** 2)
+
+                g = jax.grad(loss)(outs["params"])
+                outs[flag] = (np.asarray(v), np.asarray(f))
+                grads[flag] = g
+            finally:
+                os.environ.pop("MESHRCNN_PROJECT_FIRST", None)
+        np.testing.assert_allclose(outs["1"][0], outs["0"][0], rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(outs["1"][1], outs["0"][1], rtol=2e-4, atol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(grads["1"]),
+                        jax.tree_util.tree_leaves(grads["0"])):
+            a, b = np.asarray(a), np.asarray(b)
+            # float-association noise scales with the leaf's grad magnitude
+            scale = max(np.abs(b).max(), 1.0)
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5 * scale)

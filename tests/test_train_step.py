@@ -212,3 +212,35 @@ def test_dp_multi_step_composes(model_and_state):
     r0 = np.asarray(state.params["refine0"]["graphConv0"]["w0"])
     r1 = np.asarray(s1.params["refine0"]["graphConv0"]["w0"])
     assert not np.allclose(r0, r1)
+
+
+def test_zero_weight_normal_elided(model_and_state):
+    """Zero-weight loss terms are statically elided (PERFORMANCE.md round 3).
+
+    With the ShapeNet recipe's normal weight 0 (reference README.md:77) the
+    normal pipeline is skipped: normal_loss reads 0.0, every other metric and
+    the parameter update match the force-computed variant exactly (the normal
+    term never contributed to the total). --report_unweighted_losses restores
+    the reference's compute-and-report behavior.
+    """
+    model, state, batch = model_and_state
+    key = jax.random.PRNGKey(3)
+    w0 = LossWeights(voxel=1.0, chamfer=1.0, normal=0.0, edge=0.5)
+
+    def cfg(**kw):
+        return TrainConfig(optimizer="adam", lr=1e-3, batch_size=2,
+                           point_cloud_size=64, normal_k=4, distance_tile=32,
+                           train_backbone=False, loss_weights=w0, **kw)
+
+    elided = cfg()
+    reported = cfg(report_unweighted_losses=True)
+    s_e, m_e = jax.jit(make_train_step(model, elided))(state, batch, key)
+    s_r, m_r = jax.jit(make_train_step(model, reported))(state, batch, key)
+
+    assert float(m_e["normal_loss"]) == 0.0
+    assert float(m_r["normal_loss"]) != 0.0
+    for k in ("loss", "voxel_loss", "chamfer_loss", "edge_loss"):
+        assert np.allclose(float(m_e[k]), float(m_r[k]), rtol=1e-6), k
+    for a, b in zip(jax.tree_util.tree_leaves(s_e.params),
+                    jax.tree_util.tree_leaves(s_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)

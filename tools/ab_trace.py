@@ -3,8 +3,8 @@
 Measures the full ShapeNet train step with each variant back-to-back in ONE
 process (same chip session), so the deltas are trustworthy on the shared
 tunneled chip (PERFORMANCE.md measurement rule; VERDICT r2 weak item 2). The
-env gates (MESHRCNN_FUSED_CHAMFER / MESHRCNN_FUSED_KNN) are read at trace
-time, so toggling os.environ between jit instances selects the path.
+env gates are read at trace time, so toggling os.environ between jit
+instances selects the path.
 
     python tools/ab_trace.py            # all variants, one JSON line each
 """
@@ -17,12 +17,26 @@ import sys
 sys.path.insert(0, ".")
 sys.path.insert(0, "/root/repo")
 
+# (name, env, bench kwargs) — first entry is the shipped default configuration.
 VARIANTS = [
-    ("fused_both", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1"}),
-    ("xla_chamfer", {"MESHRCNN_FUSED_CHAMFER": "0", "MESHRCNN_FUSED_KNN": "1"}),
-    ("xla_knn", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "0"}),
-    ("xla_both", {"MESHRCNN_FUSED_CHAMFER": "0", "MESHRCNN_FUSED_KNN": "0"}),
+    ("r3_default", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
+                    "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128"},
+     {}),
+    ("cumsum_block_512", {"MESHRCNN_CUMSUM_BLOCK": "512"}, {}),
+    ("cumsum_block_256", {"MESHRCNN_CUMSUM_BLOCK": "256"}, {}),
+    ("unbatched_chamfer_laxmap", {"MESHRCNN_CUMSUM_BLOCK": "128",
+                                  "MESHRCNN_BATCHED_CHAMFER": "0"}, {}),
+    ("gather_then_dense", {"MESHRCNN_PROJECT_FIRST": "0"}, {}),
+    ("with_normal_metric", {"MESHRCNN_BATCHED_CHAMFER": "1"},
+     {"report_unweighted": True}),
+    ("xla_chamfer", {"MESHRCNN_FUSED_CHAMFER": "0"}, {}),
+    ("xla_knn", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "0"},
+     {"report_unweighted": True}),
 ]
+
+BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
+            "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
+            "MESHRCNN_PROJECT_FIRST": "1"}
 
 
 def main():
@@ -32,9 +46,13 @@ def main():
 
     import bench
 
-    for name, env in VARIANTS:
+    only = sys.argv[1:] or None
+    for name, env, kwargs in VARIANTS:
+        if only and name not in only:
+            continue
+        os.environ.update(BASE_ENV)
         os.environ.update(env)
-        result, times = bench.bench_shapenet(3)
+        result, times = bench.bench_shapenet(3, **kwargs)
         out = {"variant": name, "samples_per_sec": result["value"],
                "ms_per_step": round(1000.0 * float(np.median(times)) / 20, 1),
                "window_s": [round(t, 3) for t in times]}

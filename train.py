@@ -84,6 +84,11 @@ parser.add_argument("--backbone_dtype", type=str, default="auto",
                          "losses stay f32). 'auto' = bfloat16 on accelerators, "
                          "float32 on CPU — pin float32 to evaluate/resume f32 "
                          "checkpoints bit-stably")
+parser.add_argument("--report_unweighted_losses", default=False, action="store_true",
+                    help="force-compute loss terms whose weight is 0 so they appear "
+                         "in step metrics (the reference's behavior); by default "
+                         "zero-weight terms are statically elided from the step "
+                         "(e.g. the normal kNN/PCA pipeline at normal=0)")
 parser.add_argument("--multihost", default=False, action="store_true",
                     help="initialise jax.distributed for multi-host training "
                          "(grads pmean over ICI+DCN through the same dp axis)")
@@ -133,7 +138,8 @@ def main():
                          train_backbone=options.train_backbone,
                          point_cloud_size=options.point_cloud_size,
                          loss_weights=weights, grad_clip=options.grad_clip,
-                         pix3d_schedule=is_pix3d and not options.no_pix3d_schedule)
+                         pix3d_schedule=is_pix3d and not options.no_pix3d_schedule,
+                         report_unweighted_losses=options.report_unweighted_losses)
 
     num_voxels = 24 if is_pix3d else 48
     if options.dataRoot == "synthetic":
