@@ -201,6 +201,22 @@ def main():
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
+    # The tunneled chip occasionally goes UNAVAILABLE (worker restart / relay
+    # outage — observed 2026-08-17). A crashed bench leaves the driver with no
+    # record at all, and a CPU run of the production-shape step would take hours
+    # on this 1-core host — so emit the JSON line immediately with the error.
+    try:
+        import jax
+        jax.devices()
+    except RuntimeError as e:
+        print(json.dumps({
+            "metric": "shapenet_train_samples_per_sec", "value": 0.0,
+            "unit": "samples/s", "vs_baseline": 0.0,
+            "error": f"TPU backend unavailable ({type(e).__name__}: {e}); "
+                     "bench skipped — see PERFORMANCE.md for the last "
+                     "on-chip same-session measurements"}))
+        return
+
     if args.model == "ShapeNet":
         result, times = bench_shapenet(args.batch or 3)
         result["window_s"] = [round(t, 3) for t in times]
