@@ -93,7 +93,8 @@ def main():
     # reference eval: test=True split with 1 - test_ratio train fraction
     loader = dataLoader(dataset, options.batchSize, num_voxels, capacities,
                         test=True, train_ratio=max(1e-9, 1.0 - options.test_ratio),
-                        image_size=options.img_size if is_pix3d else None)
+                        image_size=options.img_size if is_pix3d else None,
+                        workers=options.workers)
 
     if is_pix3d:
         from meshrcnn_tpu.models.pix3d import Pix3DModel

@@ -245,7 +245,7 @@ class DataLoader:
                  num_train_samples: Optional[int] = None,
                  train_ratio: Optional[float] = None,
                  seed: int = 0, drop_last: bool = True,
-                 image_size: Optional[int] = None):
+                 image_size: Optional[int] = None, workers: int = 0):
         assert (train_ratio is None) or (num_train_samples is None), \
             "at most one of train_ratio and num_train_samples can be set"
         indices = list(range(len(dataset)))
@@ -265,30 +265,57 @@ class DataLoader:
         self.rng = np.random.RandomState(seed)
         self.drop_last = drop_last
         self.image_size = image_size
+        self.workers = workers
 
     def __len__(self) -> int:
         if self.drop_last:
             return len(self.indices) // self.batch_size
         return -(-len(self.indices) // self.batch_size)
 
+    def _load(self, chunk: list[int]) -> Batch:
+        return collate([self.dataset[j] for j in chunk],
+                       self.num_voxels, self.capacities, self.image_size)
+
     def __iter__(self) -> Iterator[Batch]:
         order = list(self.indices)
         self.rng.shuffle(order)
-        for i in range(0, len(order), self.batch_size):
-            chunk = order[i:i + self.batch_size]
-            if len(chunk) < self.batch_size and self.drop_last:
-                return
-            yield collate([self.dataset[j] for j in chunk],
-                          self.num_voxels, self.capacities, self.image_size)
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if chunks and len(chunks[-1]) < self.batch_size and self.drop_last:
+            chunks = chunks[:-1]
+        if self.workers <= 0:
+            for chunk in chunks:
+                yield self._load(chunk)
+            return
+        # Threaded prefetch (the reference's DataLoader num_workers analog,
+        # dataloader.py:297-330 via torch's loader): disk reads + PIL decode +
+        # the C OBJ tokenizer release the GIL, so up to ``workers`` upcoming
+        # batches collate while the device runs the current step. Bounded
+        # lookahead keeps host memory flat; order is preserved (seed parity
+        # with workers=0 is pytest-pinned).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=self.workers) as ex:
+            pending = deque()
+            it = iter(chunks)
+            for chunk in it:
+                pending.append(ex.submit(self._load, chunk))
+                if len(pending) > self.workers:
+                    break
+            for chunk in it:
+                yield pending.popleft().result()
+                pending.append(ex.submit(self._load, chunk))
+            while pending:
+                yield pending.popleft().result()
 
 
 def dataLoader(dataset, batch_size: int, num_voxels: int,
                capacities: Optional[CapacityConfig] = None, test: bool = False,
                num_train_samples: Optional[int] = None,
                train_ratio: Optional[float] = None,
-               image_size: Optional[int] = None) -> DataLoader:
+               image_size: Optional[int] = None, workers: int = 0) -> DataLoader:
     """Reference-named factory (dataloader.py:297)."""
     return DataLoader(dataset, batch_size, num_voxels,
                       capacities or CapacityConfig(), test=test,
                       num_train_samples=num_train_samples, train_ratio=train_ratio,
-                      image_size=image_size)
+                      image_size=image_size, workers=workers)

@@ -118,6 +118,25 @@ def test_dataloader_iterates_fixed_shapes():
         assert b.voxels.shape == (4, 16, 16, 16)
 
 
+def test_dataloader_prefetch_matches_synchronous():
+    """workers>0 (threaded prefetch) yields the SAME batches in the SAME order
+    as the synchronous loader — same shuffle seed, deterministic collate."""
+    ds = SyntheticDataset(n=10, image_size=48, num_voxels=16)
+    caps = CapacityConfig(gt_verts=16, gt_faces=16)
+    sync = DataLoader(ds, 3, 16, caps, num_train_samples=10, seed=7)
+    pre = DataLoader(ds, 3, 16, caps, num_train_samples=10, seed=7, workers=3)
+    b_sync, b_pre = list(sync), list(pre)
+    assert len(b_sync) == len(b_pre) == 3
+    import dataclasses
+    for a, b in zip(b_sync, b_pre):
+        for f in dataclasses.fields(a):
+            fa, fb = getattr(a, f.name), getattr(b, f.name)
+            if fa is None:
+                assert fb is None
+            else:
+                np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
 def test_pix3d_dataset_real_format_fixture(tmp_path):
     """pix3dDataset on a real-format on-disk tree: scan-time non-RGB filtering
     (reference: dataloader.py:111-116 — grayscale/RGBA/unreadable images are

@@ -47,7 +47,8 @@ parser.add_argument("-c", "--classes", type=str, default=None,
 parser.add_argument("--dataRoot", type=str, default="synthetic", help="dataset root")
 parser.add_argument("--batchSize", "-b", type=int, default=16, help="batch size")
 parser.add_argument("--workers", type=int, default=4,
-                    help="data loading workers (accepted for parity)")
+                    help="prefetch threads collating upcoming batches while "
+                         "the device runs the current step (0 = synchronous)")
 parser.add_argument("--nEpoch", type=int, default=10, help="number of epochs")
 # optimizer args (reference: train.py:70-74)
 parser.add_argument("--optim", type=str, default="Adam", choices=["Adam", "SGD"])
@@ -156,7 +157,8 @@ def main():
     loader = dataLoader(dataset, options.batchSize, num_voxels, capacities,
                         num_train_samples=options.num_sampels,
                         train_ratio=options.train_ratio,
-                        image_size=options.img_size if is_pix3d else None)
+                        image_size=options.img_size if is_pix3d else None,
+                        workers=options.workers)
 
     if is_pix3d:
         from meshrcnn_tpu.models.pix3d import Pix3DModel

@@ -56,7 +56,7 @@ def main():
         dataset = shapeNet_Dataset(options.dataRoot, classes)
     loader = dataLoader(dataset, options.batchSize, 48, CapacityConfig(gt_verts=64, gt_faces=64),
                         num_train_samples=options.num_sampels,
-                        train_ratio=options.train_ratio)
+                        train_ratio=options.train_ratio, workers=options.workers)
 
     model = ResNet50(num_classes=13)
     sample = next(iter(loader))
@@ -129,7 +129,8 @@ def train_pix3d_backbone(options):
     loader = dataLoader(dataset, options.batchSize, 24,
                         CapacityConfig(gt_verts=64, gt_faces=64),
                         num_train_samples=options.num_sampels,
-                        train_ratio=options.train_ratio, image_size=img_size)
+                        train_ratio=options.train_ratio, image_size=img_size,
+                        workers=options.workers)
 
     model = Pix3DMaskRCNN(num_classes=10)
     sample = next(iter(loader))
