@@ -51,9 +51,13 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
         keys = jax.random.split(key, n_steps)
         return jax.lax.scan(body, state, keys)
 
+    # AOT-compile once and run the executable directly: lower().compile() does
+    # NOT populate the jit dispatch cache, so calling run_steps() afterwards
+    # would trace + compile the whole 20-step program a second time (only the
+    # persistent disk cache made that cheap).
+    compiled = run_steps.lower(state, key).compile()
     flops = None
     try:
-        compiled = run_steps.lower(state, key).compile()
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
@@ -63,12 +67,12 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
     except Exception:
         pass
 
-    s1, losses = run_steps(state, key)      # warmup (compile cached from above)
+    s1, losses = compiled(state, key)       # warmup (device caches, first run)
     jax.block_until_ready(losses)
     times = []
     for w in range(windows):
         t0 = time.perf_counter()
-        s1, losses = run_steps(s1, jax.random.fold_in(key, w + 1))
+        s1, losses = compiled(s1, jax.random.fold_in(key, w + 1))
         jax.block_until_ready(losses)
         times.append(time.perf_counter() - t0)
     return B * n_steps / float(np.median(times)), times, flops
@@ -208,9 +212,11 @@ def main():
     try:
         import jax
         jax.devices()
-    except RuntimeError as e:
+    except Exception as e:  # backend init raises RuntimeError or XlaRuntimeError
+        metric = ("pix3d_train_samples_per_sec" if args.model == "Pix3D"
+                  else "shapenet_train_samples_per_sec")
         print(json.dumps({
-            "metric": "shapenet_train_samples_per_sec", "value": 0.0,
+            "metric": metric, "value": 0.0,
             "unit": "samples/s", "vs_baseline": 0.0,
             "error": f"TPU backend unavailable ({type(e).__name__}: {e}); "
                      "bench skipped — see PERFORMANCE.md for the last "

@@ -79,22 +79,44 @@ class pix3dDataset:
     category_idx = PIX3D_CLASSES
 
     def __init__(self, dataset_path: str, classes: Optional[Sequence[str]] = None):
-        import PIL.Image
         with open(os.path.join(dataset_path, "pix3d.json")) as f:
             manifest = json.load(f)
         self.root = dataset_path
-        self.records = []
+        keep = self._scan(manifest)
+        self.records = [p for p in keep
+                        if classes is None or p["category"] in classes]
+
+    def _scan(self, manifest) -> list:
+        """Scan-time image filter, cached beside the manifest.
+
+        Reference (dataloader.py:111-116) decodes each image and keeps
+        ndim==3 / 3-channel ones, skipping unreadable files. The PIL mode
+        check is header-only; img.load() then forces a full decode so files
+        whose header says RGB but whose body is truncated/corrupt are skipped
+        exactly like the reference's mpimg.imread (which raises on them) —
+        ADVICE r2 finding 2: dropping a different set would shift every index
+        of the seed-42 shuffled split (dataloader.py:303-304).
+
+        The full decode of ~10k images costs minutes of startup per process,
+        so the kept-image list is cached in ``.pix3d_scan_cache.json`` keyed
+        by the manifest's (mtime, size); the class filter is applied AFTER
+        the cached scan so the cache (and split parity) is class-independent.
+        """
+        import PIL.Image
+        manifest_path = os.path.join(self.root, "pix3d.json")
+        st = os.stat(manifest_path)
+        cache_key = [st.st_mtime, st.st_size]
+        cache_path = os.path.join(self.root, ".pix3d_scan_cache.json")
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+            if cache["key"] == cache_key:
+                ok = set(cache["kept_imgs"])
+                return [p for p in manifest if p["img"] in ok]
+        except Exception:
+            pass
+        kept = []
         for p in manifest:
-            if classes is not None and p["category"] not in classes:
-                continue
-            # Scan-time non-RGB filter (reference: dataloader.py:111-116 decodes
-            # each image and keeps ndim==3 / 3-channel ones, skipping unreadable
-            # files). The PIL mode check is header-only; the img.load() then
-            # forces a full decode so files whose header says RGB but whose
-            # body is truncated/corrupt are skipped exactly like the
-            # reference's mpimg.imread (which raises on them) — ADVICE r2
-            # finding 2: dropping a different set would shift every index of
-            # the seed-42 shuffled split (dataloader.py:303-304).
             try:
                 with PIL.Image.open(os.path.join(self.root, p["img"])) as img:
                     if img.mode != "RGB":
@@ -102,7 +124,14 @@ class pix3dDataset:
                     img.load()
             except Exception:
                 continue
-            self.records.append(p)
+            kept.append(p)
+        try:
+            with open(cache_path, "w") as f:
+                json.dump({"key": cache_key,
+                           "kept_imgs": [p["img"] for p in kept]}, f)
+        except OSError:
+            pass  # read-only dataset dir: scan each start, never fail
+        return kept
 
     def __len__(self) -> int:
         return len(self.records)

@@ -185,24 +185,39 @@ class Pix3DModel(nn.Module):
         # the refinement stages pool from this sample's RoI feature map
         roi_for_align = roi                                    # [N, p, p, C]
         topo = precompute_adjacency(mesh.edges, mesh.edges_mask, self.vert_capacity)
-        stage_verts = [mesh.verts]
-        verts, feats_v = VertixRefinePix3D(use_input_features=False,
-                                           num_features=self.vertex_feature_dim,
-                                           name="refine0")(roi_for_align, mesh.verts,
-                                                           topo, (H, W))
-        stage_verts.append(verts)
-        for i in range(1, self.num_refinement_stages):
-            verts, feats_v = VertixRefinePix3D(use_input_features=True,
-                                               num_features=self.vertex_feature_dim,
-                                               name=f"refine{i}")(roi_for_align, verts,
-                                                                  topo, (H, W),
-                                                                  vert_feats=feats_v)
-            stage_verts.append(verts)
+        stage_verts = _run_refine_stages(roi_for_align, mesh.verts, topo, (H, W),
+                                         self.vertex_feature_dim,
+                                         self.num_refinement_stages)
 
         return Pix3DOutput(detections=detections, mask_probs=mask_probs,
                            backbone_losses=bb_losses, voxels=voxels, mesh=mesh,
-                           stage_verts=tuple(stage_verts), mesh_valid=mesh_valid,
+                           stage_verts=stage_verts, mesh_valid=mesh_valid,
                            overflow=overflow)
+
+
+def _run_refine_stages(roi_for_align, verts0, topo, image_size,
+                       num_features: int, num_stages: int):
+    """The refine0..refine{n-1} VertixRefinePix3D loop — single source of truth.
+
+    Must be called from within an ``nn.compact`` ``__call__``: the cells bind
+    to the CALLER's scope, which is exactly what keeps Pix3DModel and
+    Pix3DRefineStages parameter-path-compatible (same "refine{i}" top-level
+    names in both modules' param dicts).
+    """
+    stage_verts = [verts0]
+    verts, feats_v = VertixRefinePix3D(use_input_features=False,
+                                       num_features=num_features,
+                                       name="refine0")(roi_for_align, verts0,
+                                                       topo, image_size)
+    stage_verts.append(verts)
+    for i in range(1, num_stages):
+        verts, feats_v = VertixRefinePix3D(use_input_features=True,
+                                           num_features=num_features,
+                                           name=f"refine{i}")(roi_for_align, verts,
+                                                              topo, image_size,
+                                                              vert_feats=feats_v)
+        stage_verts.append(verts)
+    return tuple(stage_verts)
 
 
 class Pix3DRefineStages(nn.Module):
@@ -224,17 +239,6 @@ class Pix3DRefineStages(nn.Module):
     @nn.compact
     def __call__(self, roi_for_align: jnp.ndarray, verts0: jnp.ndarray,
                  topo, image_size: tuple[int, int]):
-        stage_verts = [verts0]
-        verts, feats_v = VertixRefinePix3D(use_input_features=False,
-                                           num_features=self.vertex_feature_dim,
-                                           name="refine0")(roi_for_align, verts0,
-                                                           topo, image_size)
-        stage_verts.append(verts)
-        for i in range(1, self.num_refinement_stages):
-            verts, feats_v = VertixRefinePix3D(use_input_features=True,
-                                               num_features=self.vertex_feature_dim,
-                                               name=f"refine{i}")(roi_for_align, verts,
-                                                                  topo, image_size,
-                                                                  vert_feats=feats_v)
-            stage_verts.append(verts)
-        return tuple(stage_verts)
+        return _run_refine_stages(roi_for_align, verts0, topo, image_size,
+                                  self.vertex_feature_dim,
+                                  self.num_refinement_stages)

@@ -57,15 +57,19 @@ def balanced_sample(key: jax.Array, positive: jnp.ndarray, negative: jnp.ndarray
     """
     n = positive.shape[0]
     k_p, k_n = jax.random.split(key)
-    pos_take = min(int(num_samples * positive_fraction), n)  # static k for top_k
-    neg_take = min(num_samples, n)                           # max refillable quota
+    pos_quota = min(int(num_samples * positive_fraction), n)  # static pos cap
+    # top_k size stays >= 1 so the pos_idx gather below is never over a size-0
+    # dimension (num_samples * fraction can round to 0, e.g. roi_batch_size=2);
+    # the quota itself still bounds num_pos, so a zero quota selects no positives
+    pos_take = max(pos_quota, 1)
+    neg_take = min(num_samples, n)                            # max refillable quota
 
     pos_score = jnp.where(positive, jax.random.uniform(k_p, (n,)), -jnp.inf)
     neg_score = jnp.where(negative, jax.random.uniform(k_n, (n,)), -jnp.inf)
     pos_val, pos_idx = jax.lax.top_k(pos_score, pos_take)
     neg_val, neg_idx = jax.lax.top_k(neg_score, neg_take)
 
-    num_pos = jnp.sum(pos_val > -jnp.inf).astype(jnp.int32)   # dynamic scalars,
+    num_pos = jnp.minimum(jnp.sum(pos_val > -jnp.inf), pos_quota).astype(jnp.int32)
     num_avail_neg = jnp.sum(neg_val > -jnp.inf).astype(jnp.int32)  # static shapes
     num_neg = jnp.minimum(num_avail_neg, num_samples - num_pos)
 

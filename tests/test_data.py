@@ -198,3 +198,40 @@ def test_pix3d_dataset_real_format_fixture(tmp_path):
     assert b.boxes.shape == (2, 1, 4)
     assert (b.boxes >= 0).all() and (b.boxes <= 64).all()
     assert b.gt_verts.shape == (2, 16, 3) and b.gt_verts_mask[:, :8].all()
+
+
+def test_pix3d_scan_cache_roundtrip(tmp_path):
+    """The scan cache reproduces the exact filtered record list and
+    invalidates when the manifest changes."""
+    import json as _json
+    import PIL.Image
+    from meshrcnn_tpu.data.datasets import pix3dDataset
+
+    root = tmp_path / "ds"
+    (root / "img").mkdir(parents=True)
+    manifest = []
+
+    def add(name, mode):
+        im = PIL.Image.new(mode, (8, 8))
+        im.save(root / "img" / f"{name}.png")
+        manifest.append({"img": f"img/{name}.png", "category": "chair",
+                         "voxel": "v", "model": "m", "mask": "k",
+                         "bbox": [0, 0, 4, 4]})
+
+    add("a", "RGB"); add("b", "L"); add("c", "RGB")
+    with open(root / "pix3d.json", "w") as f:
+        _json.dump(manifest, f)
+
+    ds1 = pix3dDataset(str(root))
+    assert (root / ".pix3d_scan_cache.json").exists()
+    ds2 = pix3dDataset(str(root))          # cache hit
+    assert [r["img"] for r in ds2.records] == [r["img"] for r in ds1.records] \
+        == ["img/a.png", "img/c.png"]
+
+    # manifest change -> cache key mismatch -> rescan picks up the new file
+    add("d", "RGB")
+    with open(root / "pix3d.json", "w") as f:
+        _json.dump(manifest, f)
+    os.utime(root / "pix3d.json", (1, 1))  # force mtime change even on fast fs
+    ds3 = pix3dDataset(str(root))
+    assert [r["img"] for r in ds3.records] == ["img/a.png", "img/c.png", "img/d.png"]

@@ -224,3 +224,23 @@ def test_balanced_sample_full_quota():
     assert is_pos.sum() == 32 and valid.sum() == 64
     pos_sel = np.asarray(idx)[is_pos]
     assert all(i < 100 for i in pos_sel)
+
+
+def test_balanced_sample_zero_positive_quota():
+    """num_samples * fraction < 1 (e.g. roi_batch_size=2, fraction=0.25) must
+    select zero positives and fill everything with negatives — the size-1
+    top_k guard keeps the gather legal (regression: pos_take=0 crashed XLA)."""
+    import jax
+    from meshrcnn_tpu.ops.matcher import balanced_sample
+
+    n = 32
+    positive = np.zeros(n, bool); positive[:10] = True
+    negative = ~positive
+    idx, is_pos, valid = jax.jit(
+        lambda k: balanced_sample(k, jnp.asarray(positive), jnp.asarray(negative),
+                                  num_samples=2, positive_fraction=0.25)
+    )(jax.random.PRNGKey(3))
+    idx, is_pos, valid = np.asarray(idx), np.asarray(is_pos), np.asarray(valid)
+    assert is_pos.sum() == 0                      # quota floor(2*0.25) = 0
+    assert valid.sum() == 2                       # refilled entirely by negatives
+    assert all(not positive[i] for i in idx[valid])
