@@ -62,3 +62,43 @@ def test_voxel_roundtrip(tmp_path):
     save_voxels(grid, path)
     back = load_voxels(path)
     assert np.array_equal(back.astype(bool), grid.astype(bool))
+
+
+def test_show_renderers_headless(tmp_path):
+    """show_mesh / show_voxels / show_mesh_pointCloud render the teapot fixture
+    headlessly, accepting a path, a (verts, faces) pair, and padded+mask input
+    (reference: utils/show.py:23-84 semantics incl. alpha rotation)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import numpy as np
+    from meshrcnn_tpu.utils.rotation import rotation
+    from meshrcnn_tpu.utils.show import (show_mesh, show_mesh_pointCloud,
+                                         show_voxels)
+
+    # rotation golden: 90 deg about x maps (0,1,0) -> (0,0,1)
+    np.testing.assert_allclose(rotation(90.0) @ np.array([0, 1, 0.0]),
+                               [0, 0, 1], atol=1e-6)
+
+    teapot = os.path.join(os.path.dirname(__file__), "teapot.obj")
+    fig = show_mesh(teapot, alpha=90, show=False)
+    assert fig is not None
+
+    m = load_mesh(teapot)
+    fig = show_mesh_pointCloud((m.vertices, m.faces), num_points=64, show=False)
+    assert fig is not None
+    # raw point-array input path
+    fig = show_mesh_pointCloud(np.asarray(m.vertices), show=False)
+    assert fig is not None
+
+    # padded + masked input
+    v = np.zeros((len(m.vertices) + 5, 3), np.float32)
+    v[:len(m.vertices)] = m.vertices
+    vm = np.zeros(len(v), bool); vm[:len(m.vertices)] = True
+    f = np.zeros((len(m.faces) + 7, 3), np.int32)
+    f[:len(m.faces)] = m.faces
+    fm = np.zeros(len(f), bool); fm[:len(m.faces)] = True
+    fig = show_mesh(v, f, vm, fm, show=False)
+    assert fig is not None
+
+    fig = show_voxels(np.random.rand(6, 6, 6), threshold=0.5, show=False)
+    assert fig is not None
