@@ -245,7 +245,8 @@ def make_train_step(model, config: TrainConfig,
     return step
 
 
-def make_dp_train_step(model, config: TrainConfig, mesh: Mesh) -> Callable:
+def make_dp_train_step(model, config: TrainConfig, mesh: Mesh,
+                       donate: bool = False) -> Callable:
     """shard_map the train step over the mesh's ``dp`` axis and jit it.
 
     Batch arrays shard on their leading axis; state and rng are replicated. This is
@@ -258,11 +259,14 @@ def make_dp_train_step(model, config: TrainConfig, mesh: Mesh) -> Callable:
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate=True invalidates the input state after each call — only for
+    # strictly linear loops (state = step(state, ...), e.g. train.py); callers
+    # that reuse a state across step functions (tests, A/B tools) must not
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
 
 
 def make_multi_step(model, config: TrainConfig, n_steps: int,
-                    mesh: Optional[Mesh] = None) -> Callable:
+                    mesh: Optional[Mesh] = None, donate: bool = False) -> Callable:
     """Run ``n_steps`` training steps in ONE device dispatch via lax.scan.
 
     The tunneled chip adds ~5 ms of host round-trip latency per dispatch; staging
@@ -287,13 +291,14 @@ def make_multi_step(model, config: TrainConfig, n_steps: int,
         state, metrics = jax.lax.scan(body, state, (batches, keys))
         return state, jax.tree_util.tree_map(lambda x: x.mean(0), metrics)
 
+    donated = (0,) if donate else ()
     if mesh is None:
-        return jax.jit(multi)
+        return jax.jit(multi, donate_argnums=donated)
     sharded = jax.shard_map(multi, mesh=mesh,
                             in_specs=(P(), P(None, "dp"), P()),
                             out_specs=(P(), P()),
                             check_vma=False)
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=donated)
 
 
 def stack_batches(batches) -> Batch:

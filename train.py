@@ -226,20 +226,21 @@ def main():
     group_shard_fn = None
     if n_dev > 1:
         mesh = Mesh(np.array(devices[:n_dev]), ("dp",))
-        step_fn = make_dp_train_step(model, config, mesh)
+        step_fn = make_dp_train_step(model, config, mesh, donate=True)
         shard_fn = lambda b: shard_batch(b, mesh)
         if options.steps_per_dispatch > 1:
             from meshrcnn_tpu.parallel.train_step import (make_multi_step,
                                                           shard_stacked_batch)
             multi_step_fn = make_multi_step(model, config,
-                                            options.steps_per_dispatch, mesh=mesh)
+                                            options.steps_per_dispatch, mesh=mesh,
+                                            donate=True)
             group_shard_fn = lambda b: shard_stacked_batch(b, mesh)
     else:
-        step_fn = jax.jit(make_train_step(model, config))
+        step_fn = jax.jit(make_train_step(model, config), donate_argnums=(0,))
         if options.steps_per_dispatch > 1:
             from meshrcnn_tpu.parallel.train_step import make_multi_step
             multi_step_fn = make_multi_step(model, config,
-                                            options.steps_per_dispatch)
+                                            options.steps_per_dispatch, donate=True)
 
     ckpt_dir = checkpoint_dir(options.checkpoint_root, options.model)
     meters = gcn_metrics(options.voxel_only)
