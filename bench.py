@@ -28,7 +28,10 @@ BASELINE_SAMPLES_PER_SEC = 1.84          # BASELINE.md ShapeNet throughput
 PIX3D_BASELINE_SAMPLES_PER_SEC = 0.871   # reference pix3d.st best epoch (see above)
 
 
-def measure(step, state, batch, key, B, n_steps=20, windows=5):
+N_STEPS = 20  # steps per scanned dispatch — ms/step and MFU all divide by this
+
+
+def measure(step, state, batch, key, B, n_steps=N_STEPS, windows=5):
     """Scan n_steps train steps in one dispatch; median-of-N-windows samples/s.
 
     Median over >=5 windows rather than best-of-3 (VERDICT r1 weak item 1): the
@@ -78,7 +81,7 @@ def measure(step, state, batch, key, B, n_steps=20, windows=5):
     return B * n_steps / float(np.median(times)), times, flops
 
 
-def mfu_fields(times, flops_per_step, n_steps=20, peak_tflops=197.0):
+def mfu_fields(times, flops_per_step, n_steps=N_STEPS, peak_tflops=197.0):
     """Model FLOPs utilization vs the bf16 MXU peak (TPU v5e: ~197 TFLOP/s).
 
     The compiler's cost analysis counts every HLO flop (f32 and bf16 alike), so
@@ -215,12 +218,16 @@ def main():
     except Exception as e:  # backend init raises RuntimeError or XlaRuntimeError
         metric = ("pix3d_train_samples_per_sec" if args.model == "Pix3D"
                   else "shapenet_train_samples_per_sec")
-        print(json.dumps({
+        record = {
             "metric": metric, "value": 0.0,
             "unit": "samples/s", "vs_baseline": 0.0,
             "error": f"TPU backend unavailable ({type(e).__name__}: {e}); "
                      "bench skipped — see PERFORMANCE.md for the last "
-                     "on-chip same-session measurements"}))
+                     "on-chip same-session measurements"}
+        if args.model == "both":  # carry the Pix3D half of the combined record
+            record["pix3d_train_samples_per_sec"] = 0.0
+            record["pix3d_vs_baseline"] = 0.0
+        print(json.dumps(record))
         return
 
     if args.model == "ShapeNet":

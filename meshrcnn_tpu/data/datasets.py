@@ -99,22 +99,44 @@ class pix3dDataset:
 
         The full decode of ~10k images costs minutes of startup per process,
         so the kept-image list is cached in ``.pix3d_scan_cache.json`` keyed
-        by the manifest's (mtime, size); the class filter is applied AFTER
-        the cached scan so the cache (and split parity) is class-independent.
+        by the manifest's (mtime, size) AND a digest of every image file's
+        (path, mtime, size) — repairing or corrupting an image without
+        touching the manifest still invalidates (stat is ~1000x cheaper than
+        decode, so the key check stays milliseconds). The class filter is
+        applied AFTER the cached scan so the cache (and split parity) is
+        class-independent. On a read-only dataset dir the cache falls back
+        to ``~/.cache/meshrcnn_tpu/`` keyed by the dataset's absolute path.
         """
+        import hashlib
         import PIL.Image
         manifest_path = os.path.join(self.root, "pix3d.json")
         st = os.stat(manifest_path)
-        cache_key = [st.st_mtime, st.st_size]
-        cache_path = os.path.join(self.root, ".pix3d_scan_cache.json")
-        try:
-            with open(cache_path) as f:
-                cache = json.load(f)
-            if cache["key"] == cache_key:
-                ok = set(cache["kept_imgs"])
-                return [p for p in manifest if p["img"] in ok]
-        except Exception:
-            pass
+        h = hashlib.sha256()
+        for p in manifest:
+            h.update(p["img"].encode())
+            try:
+                ist = os.stat(os.path.join(self.root, p["img"]))
+                h.update(f"{ist.st_mtime},{ist.st_size};".encode())
+            except OSError:
+                h.update(b"missing;")
+        cache_key = [st.st_mtime, st.st_size, h.hexdigest()]
+
+        root_hash = hashlib.sha256(
+            os.path.abspath(self.root).encode()).hexdigest()[:16]
+        cache_paths = [
+            os.path.join(self.root, ".pix3d_scan_cache.json"),
+            os.path.join(os.path.expanduser("~"), ".cache", "meshrcnn_tpu",
+                         f"pix3d_scan_{root_hash}.json"),
+        ]
+        for cp in cache_paths:
+            try:
+                with open(cp) as f:
+                    cache = json.load(f)
+                if cache["key"] == cache_key:
+                    ok = set(cache["kept_imgs"])
+                    return [p for p in manifest if p["img"] in ok]
+            except Exception:
+                pass
         kept = []
         for p in manifest:
             try:
@@ -125,12 +147,15 @@ class pix3dDataset:
             except Exception:
                 continue
             kept.append(p)
-        try:
-            with open(cache_path, "w") as f:
-                json.dump({"key": cache_key,
-                           "kept_imgs": [p["img"] for p in kept]}, f)
-        except OSError:
-            pass  # read-only dataset dir: scan each start, never fail
+        payload = {"key": cache_key, "kept_imgs": [p["img"] for p in kept]}
+        for cp in cache_paths:
+            try:
+                os.makedirs(os.path.dirname(cp), exist_ok=True)
+                with open(cp, "w") as f:
+                    json.dump(payload, f)
+                break
+            except OSError:
+                continue  # read-only dataset dir: try the user cache next
         return kept
 
     def __len__(self) -> int:

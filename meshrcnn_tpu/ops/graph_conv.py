@@ -135,9 +135,19 @@ def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
     return out
 
 
+def _chunking_active(B: int) -> bool:
+    """The worker fault is specific to the XLA:TPU runtime (BUG_REPORT.md), so
+    other backends keep the single fused program at any batch; tests force the
+    chunked path with MESHRCNN_FORCE_AGG_CHUNK=1."""
+    import os
+    if os.environ.get("MESHRCNN_FORCE_AGG_CHUNK", "0") == "1":
+        return B > _AGG_SAFE_BATCH
+    return B > _AGG_SAFE_BATCH and jax.default_backend() == "tpu"
+
+
 def _aggregate_impl(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
     B = feats.shape[0]
-    if B <= _AGG_SAFE_BATCH:
+    if not _chunking_active(B):
         return _aggregate_one_chunk(feats, topo)
     # lax.map over sub-batches of the known-good training shape; zero-padded
     # tail samples have empty segments (starts = ends = 0) and produce zeros

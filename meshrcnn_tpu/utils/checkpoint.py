@@ -71,8 +71,14 @@ def load_state_partial(path: str, target):
         return {k: merge(v, src, prefix + (k,)) for k, v in tgt.items()}
 
     target = jax.device_get(target)
-    merged_params = merge(target.params, flatten(raw.get("params", {})))
+    src_params = flatten(raw.get("params", {}))
+    merged_params = merge(target.params, src_params)
     merged_stats = merge(target.batch_stats, flatten(raw.get("batch_stats", {})))
-    n_loaded = sum(1 for p in flatten(raw.get("params", {})) if p in flatten(target.params))
-    n_total = len(flatten(target.params))
+    # count leaves that actually MERGED (path present AND shape matched) — a
+    # path-only count reports a full load for an all-shape-mismatched
+    # checkpoint (e.g. different --featDim), hiding a run on random init
+    tgt_params = flatten(target.params)
+    n_loaded = sum(1 for p, v in tgt_params.items()
+                   if p in src_params and np.shape(src_params[p]) == np.shape(v))
+    n_total = len(tgt_params)
     return target.replace(params=merged_params, batch_stats=merged_stats), (n_loaded, n_total)

@@ -51,3 +51,26 @@ def test_round_trip_exact(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(restored),
                     jax.tree_util.tree_leaves(state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partial_restore_counts_shape_mismatches(tmp_path):
+    """n_loaded must count leaves that actually MERGED: a checkpoint from a
+    different model width shares param paths but mismatches shapes, and must
+    NOT report a full load (the demo/eval failed-load guards key off this)."""
+    batch = tiny_batch()
+    cfg = tiny_config()
+    w_state = create_train_state(ShapeNetModel(**TINY), cfg,
+                                 jax.random.PRNGKey(0), batch.images)
+    path = save_state(w_state, str(tmp_path / "w"))
+
+    # reader: same architecture, different refinement width -> same paths,
+    # mismatched shapes on every refine-cell leaf
+    wide = ShapeNetModel(**{**TINY, "vertex_feature_dim": 64})
+    r_state = create_train_state(wide, cfg, jax.random.PRNGKey(1), batch.images)
+    merged, (n_loaded, n_total) = load_state_partial(path, r_state)
+    assert n_loaded < n_total
+    # mismatched leaves keep their fresh init (merge skipped, not corrupted)
+    fresh = jax.tree_util.tree_leaves(r_state.params)
+    got = jax.tree_util.tree_leaves(merged.params)
+    assert any(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(got, fresh))

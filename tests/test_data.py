@@ -235,3 +235,11 @@ def test_pix3d_scan_cache_roundtrip(tmp_path):
     os.utime(root / "pix3d.json", (1, 1))  # force mtime change even on fast fs
     ds3 = pix3dDataset(str(root))
     assert [r["img"] for r in ds3.records] == ["img/a.png", "img/c.png", "img/d.png"]
+
+    # image-file change WITHOUT touching the manifest must also invalidate:
+    # truncate c.png -> decode fails -> the rescan drops it (split parity)
+    data = (root / "img" / "c.png").read_bytes()
+    (root / "img" / "c.png").write_bytes(data[: len(data) // 2])
+    os.utime(root / "img" / "c.png", (2, 2))
+    ds4 = pix3dDataset(str(root))
+    assert [r["img"] for r in ds4.records] == ["img/a.png", "img/d.png"]

@@ -2,6 +2,8 @@
 (reference: tests/test_loss_functions.py, tests/test_layers.py) and adapted to the
 padded fixed-capacity representation.
 """
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -295,7 +297,9 @@ def test_batched_compute_normals_lax_map_grads():
 def test_aggregate_large_batch_chunking():
     """B > 8 routes through the chunked lax.map path (TPU worker-fault
     workaround, ROADMAP.md); outputs must equal the single-program path and
-    gradients must flow through the custom VJP identically."""
+    gradients must flow through the custom VJP identically. On CPU the chunked
+    path only engages under MESHRCNN_FORCE_AGG_CHUNK (backend-gated)."""
+    os.environ["MESHRCNN_FORCE_AGG_CHUNK"] = "1"
     from meshrcnn_tpu.ops.graph_conv import (_AGG_SAFE_BATCH,
                                              _aggregate_one_chunk,
                                              aggregate_neighbours,
@@ -318,10 +322,12 @@ def test_aggregate_large_batch_chunking():
     g_ref = jax.grad(lambda f: jnp.sum(_aggregate_one_chunk(f, topo) ** 2))(feats)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=1e-4, atol=5e-5)
+    os.environ.pop("MESHRCNN_FORCE_AGG_CHUNK", None)
 
 
 def test_aggregate_chunking_non_divisible_batch():
     """B=10 pads to 12 (chunk 4); the padded tail must not leak into outputs."""
+    os.environ["MESHRCNN_FORCE_AGG_CHUNK"] = "1"
     from meshrcnn_tpu.ops.graph_conv import (_aggregate_one_chunk,
                                              aggregate_neighbours,
                                              precompute_adjacency)
@@ -337,3 +343,4 @@ def test_aggregate_chunking_non_divisible_batch():
     assert out.shape == (B, V, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    os.environ.pop("MESHRCNN_FORCE_AGG_CHUNK", None)

@@ -15,7 +15,7 @@ import os
 import sys
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # (name, env, bench kwargs) — first entry is the shipped default configuration.
 VARIANTS = [
@@ -54,7 +54,7 @@ def main():
         os.environ.update(env)
         result, times = bench.bench_shapenet(3, **kwargs)
         out = {"variant": name, "samples_per_sec": result["value"],
-               "ms_per_step": round(1000.0 * float(np.median(times)) / 20, 1),
+               "ms_per_step": round(1000.0 * float(np.median(times)) / bench.N_STEPS, 1),
                "window_s": [round(t, 3) for t in times]}
         print(json.dumps(out), flush=True)
 

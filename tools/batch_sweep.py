@@ -11,10 +11,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -33,7 +34,7 @@ def main():
     for B in args.batches:
         result, times = fn(B)
         result["batch"] = B
-        result["ms_per_step"] = round(1000.0 * float(np.median(times)) / 20, 1)
+        result["ms_per_step"] = round(1000.0 * float(np.median(times)) / bench.N_STEPS, 1)
         result["window_s"] = [round(t, 3) for t in times]
         print(json.dumps(result), flush=True)
 

@@ -11,11 +11,12 @@ on.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -17,7 +17,7 @@ import sys
 import tempfile
 
 sys.path.insert(0, ".")
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def capture(step, state, batch, key, n_steps: int, log_dir: str) -> None:
