@@ -102,14 +102,6 @@ def _voxel_iou_j(pred, gt, threshold: float = 0.5):
     return inter.astype(jnp.float32) / union.astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile"))
-def _mesh_eval_losses(key, stage_verts, mesh, gt_verts, gt_faces, gt_faces_mask,
-                      point_cloud_size, num_neighbours, tile):
-    return batched_mesh_loss(key, stage_verts, mesh, gt_verts, gt_faces,
-                             gt_faces_mask, point_cloud_size=point_cloud_size,
-                             num_neighbours=num_neighbours, tile=tile)
-
-
 @partial(jax.jit, static_argnames=("point_cloud_size", "tile"))
 def _f1_distances(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_mask,
                   point_cloud_size, tile):
@@ -123,6 +115,113 @@ def _f1_distances(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_ma
     return nn(cloud_p, cloud_g), nn(cloud_g, cloud_p), valid_p & valid_g
 
 
+def _f1_terms(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_mask,
+              point_cloud_size, tile, taus):
+    """Per-tau (sum of per-sample F1, valid count) — the on-device form of the
+    host F1 accumulation loop (prec/rec are means over each sample's own cloud)."""
+    d_p, d_g, valid = _f1_distances(key, verts, faces, faces_mask, gt_verts,
+                                    gt_faces, gt_faces_mask, point_cloud_size, tile)
+    f1s = []
+    for tau in taus:
+        thr = tau * tau
+        prec = jnp.mean((d_p < thr).astype(jnp.float32), axis=1)    # [B]
+        rec = jnp.mean((d_g < thr).astype(jnp.float32), axis=1)
+        f1s.append(2 * prec * rec / jnp.maximum(prec + rec, 1e-12))
+    f1 = jnp.stack(f1s, axis=1)                                      # [B, T]
+    return (jnp.sum(jnp.where(valid[:, None], f1, 0.0), axis=0),     # [T]
+            jnp.sum(valid.astype(jnp.int32)))
+
+
+@partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile",
+                                   "taus", "voxel_only"))
+def _shapenet_eval_metrics(key, out, gt_vox, gt_verts, gt_faces, gt_faces_mask,
+                           point_cloud_size, num_neighbours, tile, taus,
+                           voxel_only):
+    """ALL per-batch eval metrics in one compiled program.
+
+    The eval loop used to make ~8 separate jit dispatches + host syncs per batch
+    (each a tunnel round-trip on the target setup) and round-tripped multi-MB
+    outputs through numpy; this computes everything on-device and returns only
+    scalars + a [B] preds vector (reference metric semantics preserved:
+    eval_utils.py:93-194).
+    """
+    res = {"voxel_loss": voxel_loss(out.voxels, gt_vox),
+           "voxel_iou": _voxel_iou_j(out.voxels, gt_vox),
+           "preds": jnp.argmax(out.logits, axis=-1).astype(jnp.int32)}
+    if not voxel_only:
+        chamfer, normal, edge = batched_mesh_loss(
+            key, list(out.stage_verts[1:]), out.mesh, gt_verts, gt_faces,
+            gt_faces_mask, point_cloud_size=point_cloud_size,
+            num_neighbours=num_neighbours, tile=tile)
+        res.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
+        res["f1_sum"], res["f1_count"] = _f1_terms(
+            jax.random.fold_in(key, 7), out.stage_verts[-1], out.mesh.faces,
+            out.mesh.faces_mask, gt_verts, gt_faces, gt_faces_mask,
+            point_cloud_size, tile, taus)
+    return res
+
+
+@partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile",
+                                   "taus", "voxel_only"))
+def _pix3d_eval_metrics(key, out, gt_boxes, gt_masks, gt_vox, gt_verts, gt_faces,
+                        gt_faces_mask, point_cloud_size, num_neighbours, tile,
+                        taus, voxel_only):
+    """Pix3D per-batch eval metrics in one compiled program.
+
+    Best-IoU detection selection (eval_utils.py:10-13), AP_box/AP_mask
+    (metrics.py:31-53) with on-device mask pasting, slot-selected voxel + mesh
+    losses and point-cloud F1 — one dispatch, scalar-sized host transfer.
+    """
+    from meshrcnn_tpu.ops.boxes import box_iou as box_iou_j
+    from meshrcnn_tpu.utils.metrics import paste_mask_in_image_jax
+
+    det = out.detections
+    B, D = det.valid.shape
+    H, W = gt_masks.shape[1], gt_masks.shape[2]
+    gt_b = gt_boxes.reshape(B, 4)
+
+    # best-IoU detection per image; invalid slots score -1
+    ious = jax.vmap(lambda dbox, g: box_iou_j(dbox, g[None])[:, 0])(det.boxes, gt_b)
+    ious = jnp.where(det.valid, ious, -1.0)
+    best = jnp.argmax(ious, axis=1)                                  # [B]
+    ar = jnp.arange(B)
+    best_boxes = det.boxes[ar, best]
+    best_labels = det.labels[ar, best].astype(jnp.int32)
+
+    # AP_box recomputes the raw (unmasked) IoU of the selected box, exactly as
+    # the host calc_precision_box did on the selected slots
+    raw_iou = jax.vmap(lambda p, g: box_iou_j(g[None], p[None])[0, 0])(best_boxes, gt_b)
+    res = {"best_labels": best_labels,
+           "ap_box": jnp.mean((raw_iou > 0.5).astype(jnp.float32))}
+
+    pasted = jax.vmap(lambda m, bx: paste_mask_in_image_jax(m, bx, H, W))(
+        out.mask_probs[ar, best], best_boxes)                        # [B, H, W]
+    gt_m = gt_masks > 0.5
+    pm = pasted > 0
+    inter = jnp.sum(pm & gt_m, axis=(1, 2)).astype(jnp.float32)
+    union = jnp.maximum(jnp.sum(pm | gt_m, axis=(1, 2)), 1).astype(jnp.float32)
+    res["ap_mask"] = jnp.mean(((inter / union) > 0.5).astype(jnp.float32))
+
+    # get_only_max analog: the best detection's mesh/voxel slot per image
+    slot = ar * D + best
+    res["voxel_loss"] = voxel_loss(out.voxels[slot], gt_vox)
+    res["voxel_iou"] = _voxel_iou_j(out.voxels[slot], gt_vox)
+
+    if not voxel_only:
+        mesh = jax.tree_util.tree_map(lambda x: x[slot], out.mesh)
+        stage_verts = [v[slot] for v in out.stage_verts]
+        chamfer, normal, edge = batched_mesh_loss(
+            key, stage_verts[1:], mesh, gt_verts, gt_faces, gt_faces_mask,
+            point_cloud_size=point_cloud_size, num_neighbours=num_neighbours,
+            tile=tile)
+        res.update(chamfer_loss=chamfer, normal_loss=normal, edge_loss=edge)
+        res["f1_sum"], res["f1_count"] = _f1_terms(
+            jax.random.fold_in(key, 7), stage_verts[-1], mesh.faces,
+            mesh.faces_mask, gt_verts, gt_faces, gt_faces_mask,
+            point_cloud_size, tile, taus)
+    return res
+
+
 def validate(epoch: int, eval_step: Callable, state, loader,
              config: TrainConfig, num_classes: int, rng: jax.Array,
              voxel_only: bool = False, f1_taus=(0.1, 0.3),
@@ -134,8 +233,10 @@ def validate(epoch: int, eval_step: Callable, state, loader,
     F1@tau (the BASELINE.md north-star metric).
     """
     meters = gcn_metrics(voxel_only)
+    meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
     confusion = np.zeros((num_classes, num_classes), dtype=np.int64)
-    f1_sums = {t: 0.0 for t in f1_taus}
+    taus = tuple(f1_taus)
+    f1_sums = {t: 0.0 for t in taus}
     f1_count = 0
     end = time.time()
     for i, batch in enumerate(loader):
@@ -144,43 +245,24 @@ def validate(epoch: int, eval_step: Callable, state, loader,
         out = eval_step(state, images)
         key = jax.random.fold_in(rng, i)
 
-        gt_vox = jnp.asarray(batch.voxels)
-        meters["voxel_loss"].update(float(_voxel_loss_j(out.voxels, gt_vox)))
-        if "voxel_iou" not in meters:
-            meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
-        meters["voxel_iou"].update(float(_voxel_iou_j(out.voxels, gt_vox)))
-
-        preds = np.asarray(jnp.argmax(out.logits, axis=-1))
-        for p, t in zip(preds, np.asarray(batch.labels)):
+        # one fused metrics dispatch + ONE host transfer of scalars per batch
+        # (the model outputs never leave the device)
+        m = jax.device_get(_shapenet_eval_metrics(
+            key, out, jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
+            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+            config.point_cloud_size, config.normal_k, config.distance_tile,
+            taus, voxel_only))
+        meters["voxel_loss"].update(float(m["voxel_loss"]))
+        meters["voxel_iou"].update(float(m["voxel_iou"]))
+        for p, t in zip(m["preds"], np.asarray(batch.labels)):
             confusion[int(t), int(p)] += 1
-
         if not voxel_only:
-            chamfer, normal, edge = _mesh_eval_losses(
-                key, list(out.stage_verts[1:]), out.mesh,
-                jnp.asarray(batch.gt_verts), jnp.asarray(batch.gt_faces),
-                jnp.asarray(batch.gt_faces_mask),
-                point_cloud_size=config.point_cloud_size,
-                num_neighbours=config.normal_k, tile=config.distance_tile)
-            meters["chamfer_loss"].update(float(chamfer))
-            meters["normal_loss"].update(float(normal))
-            meters["edge_loss"].update(float(edge))
-
-            # true point-cloud F1@tau on the final stage: one batched NN pass,
-            # taus are host-side thresholds on the squared NN distances
-            d_p, d_g, valid = _f1_distances(
-                jax.random.fold_in(key, 7), out.stage_verts[-1], out.mesh.faces,
-                out.mesh.faces_mask, jnp.asarray(batch.gt_verts),
-                jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
-                config.point_cloud_size, config.distance_tile)
-            d_p, d_g, valid = np.asarray(d_p), np.asarray(d_g), np.asarray(valid)
-            for b in range(images.shape[0]):
-                if valid[b]:
-                    for tau in f1_taus:
-                        thr = tau * tau
-                        prec = float((d_p[b] < thr).mean())
-                        rec = float((d_g[b] < thr).mean())
-                        f1_sums[tau] += 2 * prec * rec / max(prec + rec, 1e-12)
-                    f1_count += 1
+            meters["chamfer_loss"].update(float(m["chamfer_loss"]))
+            meters["normal_loss"].update(float(m["normal_loss"]))
+            meters["edge_loss"].update(float(m["edge_loss"]))
+            for j, tau in enumerate(taus):
+                f1_sums[tau] += float(m["f1_sum"][j])
+            f1_count += int(m["f1_count"])
 
         meters["batch_time"].update(time.time() - end)
         end = time.time()
@@ -214,87 +296,47 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     names suggest. The reference computes the same quantity under the same
     names (eval_utils.py:103-130).
     """
-    from meshrcnn_tpu.utils.metrics import (calc_precision_box, calc_precision_mask,
-                                            mesh_precision_recall, paste_mask_in_image)
+    from meshrcnn_tpu.utils.metrics import mesh_precision_recall
 
     meters = gcn_metrics(voxel_only)
+    meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
     for k in ("AP_box", "AP_mask"):
         meters[k] = AverageMeter(k, ":.4f")
     confusion = np.zeros((num_classes, num_classes), dtype=np.int64)
-    f1_sums = {t: 0.0 for t in f1_taus}
+    taus = tuple(f1_taus)
+    f1_sums = {t: 0.0 for t in taus}
     f1_count = 0
     end = time.time()
     for i, batch in enumerate(loader):
         meters["data_loading"].update(time.time() - end)
         images = jnp.asarray(batch.images)
-        B, H, W = images.shape[0], images.shape[1], images.shape[2]
         out = eval_step(state, images)
         key = jax.random.fold_in(rng, i)
-        D = out.detections.boxes.shape[1]
 
-        det_boxes = np.asarray(out.detections.boxes)
-        det_labels = np.asarray(out.detections.labels)
-        det_valid = np.asarray(out.detections.valid)
-        mask_probs = np.asarray(out.mask_probs)
-        gt_boxes = np.asarray(batch.boxes).reshape(B, 4)
-        gt_masks = np.asarray(batch.masks)
-        gt_labels = np.asarray(batch.labels)
-
-        # best-IoU detection per image (eval_utils.py:10-13)
-        from meshrcnn_tpu.utils.metrics import box_iou as np_box_iou
-        best_idx = np.zeros((B,), dtype=np.int64)
-        for b in range(B):
-            ious = np_box_iou(det_boxes[b], gt_boxes[b][None])[:, 0]
-            ious = np.where(det_valid[b], ious, -1.0)
-            best_idx[b] = int(np.argmax(ious))
-
-        best_boxes = det_boxes[np.arange(B), best_idx]
-        best_labels = det_labels[np.arange(B), best_idx]
-        pasted = [paste_mask_in_image(mask_probs[b, best_idx[b]], best_boxes[b], H, W)
-                  for b in range(B)]
-        meters["AP_box"].update(calc_precision_box(best_boxes, gt_boxes))
-        meters["AP_mask"].update(calc_precision_mask(pasted, gt_masks))
-
-        # get_only_max analog: pick the best detection's mesh slot per image
-        slot = np.arange(B) * D + best_idx
-        voxels = jnp.asarray(np.asarray(out.voxels)[slot])
-        gt_vox = jnp.asarray(batch.voxels)
-        meters["voxel_loss"].update(float(_voxel_loss_j(voxels, gt_vox)))
-        if "voxel_iou" not in meters:
-            meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
-        meters["voxel_iou"].update(float(_voxel_iou_j(voxels, gt_vox)))
-
-        for p, t in zip(best_labels, gt_labels):
+        # one fused metrics dispatch + ONE host transfer of scalars per batch:
+        # best-IoU selection, mask pasting, AP/voxel/mesh metrics all on-device
+        # (the eval loop previously made ~8 dispatches + host syncs per batch
+        # and pulled the full voxel/vertex buffers over the wire, then pushed
+        # the selected slots back)
+        m = jax.device_get(_pix3d_eval_metrics(
+            key, out, jnp.asarray(batch.boxes), jnp.asarray(batch.masks),
+            jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
+            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+            config.point_cloud_size, config.normal_k, config.distance_tile,
+            taus, voxel_only))
+        meters["AP_box"].update(float(m["ap_box"]))
+        meters["AP_mask"].update(float(m["ap_mask"]))
+        meters["voxel_loss"].update(float(m["voxel_loss"]))
+        meters["voxel_iou"].update(float(m["voxel_iou"]))
+        for p, t in zip(m["best_labels"], np.asarray(batch.labels)):
             confusion[int(t), int(p)] += 1
-
         if not voxel_only:
-            sel = jnp.asarray(slot)
-            mesh = jax.tree_util.tree_map(lambda x: x[sel], out.mesh)
-            stage_verts = [jnp.asarray(np.asarray(v)[slot]) for v in out.stage_verts]
-            chamfer, normal, edge = _mesh_eval_losses(
-                key, stage_verts[1:], mesh,
-                jnp.asarray(batch.gt_verts), jnp.asarray(batch.gt_faces),
-                jnp.asarray(batch.gt_faces_mask),
-                point_cloud_size=config.point_cloud_size,
-                num_neighbours=config.normal_k, tile=config.distance_tile)
-            meters["chamfer_loss"].update(float(chamfer))
-            meters["normal_loss"].update(float(normal))
-            meters["edge_loss"].update(float(edge))
-
-            d_p, d_g, valid = _f1_distances(
-                jax.random.fold_in(key, 7), stage_verts[-1], mesh.faces,
-                mesh.faces_mask, jnp.asarray(batch.gt_verts),
-                jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
-                config.point_cloud_size, config.distance_tile)
-            d_p, d_g, valid = np.asarray(d_p), np.asarray(d_g), np.asarray(valid)
-            for b in range(B):
-                if valid[b]:
-                    for tau in f1_taus:
-                        thr = tau * tau
-                        prec = float((d_p[b] < thr).mean())
-                        rec = float((d_g[b] < thr).mean())
-                        f1_sums[tau] += 2 * prec * rec / max(prec + rec, 1e-12)
-                    f1_count += 1
+            meters["chamfer_loss"].update(float(m["chamfer_loss"]))
+            meters["normal_loss"].update(float(m["normal_loss"]))
+            meters["edge_loss"].update(float(m["edge_loss"]))
+            for j, tau in enumerate(taus):
+                f1_sums[tau] += float(m["f1_sum"][j])
+            f1_count += int(m["f1_count"])
 
         meters["batch_time"].update(time.time() - end)
         end = time.time()

@@ -59,6 +59,57 @@ def paste_mask_in_image(mask: np.ndarray, box, height: int, width: int,
     return out
 
 
+def paste_mask_in_image_jax(mask, box, height: int, width: int,
+                            threshold: float = 0.5):
+    """Device-side paste: inverse bilinear warp of a KxK RoI mask into a static
+    [height, width] binary grid (torchvision ``F.interpolate(mode='bilinear')``
+    paste semantics).
+
+    Matches :func:`paste_mask_in_image` (the numpy/PIL path) bit-for-bit when the
+    clamped box is at least as large as the mask (the production case — 28x28
+    masks pasted into >=28px detections); for *smaller* boxes PIL antialiases its
+    downscale while this stays pure bilinear, which is exactly what torchvision
+    does — the numpy path's PIL resize is the deviating one there. Static output
+    shape (box coords are traced scalars), so a whole batch pastes in one
+    compiled program — this is what lets AP_mask run on-device in the fused
+    eval-metrics dispatch instead of a per-image host loop.
+    """
+    import jax.numpy as jnp
+
+    mask = jnp.asarray(mask, jnp.float32)
+    kh, kw = mask.shape
+    # mirror paste_mask_in_image's rounding/clamping exactly (jnp.round and
+    # Python round() both round half to even)
+    b = jnp.round(jnp.asarray(box, jnp.float32).reshape(4))
+    x1 = jnp.maximum(b[0], 0.0)
+    y1 = jnp.maximum(b[1], 0.0)
+    x2 = jnp.minimum(jnp.maximum(b[2], x1 + 1.0), float(width))
+    y2 = jnp.minimum(jnp.maximum(b[3], y1 + 1.0), float(height))
+    w = x2 - x1
+    h = y2 - y1
+
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
+    u = (xs - x1 + 0.5) * (kw / w) - 0.5   # mask-space column of each pixel centre
+    v = (ys - y1 + 0.5) * (kh / h) - 0.5
+    # edge-clamp == PIL's boundary window renormalisation for support-1 bilinear
+    u = jnp.clip(u, 0.0, kw - 1.0)
+    v = jnp.clip(v, 0.0, kh - 1.0)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    uf = u - u0.astype(jnp.float32)
+    vf = v - v0.astype(jnp.float32)
+    u1 = jnp.minimum(u0 + 1, kw - 1)
+    v1 = jnp.minimum(v0 + 1, kh - 1)
+
+    top = mask[v0][:, u0] * (1 - uf)[None, :] + mask[v0][:, u1] * uf[None, :]
+    bot = mask[v1][:, u0] * (1 - uf)[None, :] + mask[v1][:, u1] * uf[None, :]
+    val = top * (1 - vf)[:, None] + bot * vf[:, None]
+    inside = (((xs >= x1) & (xs < x2))[None, :]
+              & ((ys >= y1) & (ys < y2))[:, None])
+    return (inside & (val > threshold)).astype(jnp.int32)
+
+
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise IoU of xyxy boxes a [N,4] x b [M,4] (pure numpy)."""
     a = np.asarray(a, dtype=np.float64)
@@ -88,14 +139,16 @@ def calc_precision_box(pred_boxes, gt_boxes, iou_thresh: float = 0.5) -> float:
 
 
 def calc_precision_mask(pred_masks, gt_masks, iou_thresh: float = 0.5) -> float:
-    """Fraction of predicted masks with pixel IoU > thresh (reference: metrics.py:43-53)."""
+    """Fraction of predicted masks with pixel IoU > thresh vs their PAIRED GT mask
+    (reference: metrics.py:43-53 zips mask with gt_mask — each prediction is
+    scored against its own image's ground truth, not the whole batch stack)."""
     hits = 0
-    pred_masks = np.asarray(pred_masks)
+    pred_masks = [np.asarray(m).astype(bool) for m in pred_masks]
     gt = np.asarray(gt_masks).astype(bool)
-    for m in pred_masks:
-        mb = np.asarray(m).astype(bool)
-        inter = np.logical_and(mb, gt).sum()
-        union = np.logical_or(mb, gt).sum()
+    assert len(gt) == len(pred_masks), (len(gt), len(pred_masks))
+    for mb, g in zip(pred_masks, gt):
+        inter = np.logical_and(mb, g).sum()
+        union = np.logical_or(mb, g).sum()
         if union > 0 and inter / union > iou_thresh:
             hits += 1
     return hits / max(len(pred_masks), 1)

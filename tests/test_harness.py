@@ -61,6 +61,30 @@ def test_validate_pix3d_metrics():
     assert 0.0 <= results["AP_mask"] <= 1.0 and 0.0 <= results["AP_mesh"] <= 1.0
 
 
+def test_validate_voxel_only_paths():
+    """--voxel_only eval must work through the fused-metrics loops for BOTH
+    models (this was the only TPU-side Pix3D eval story before the aggregation
+    fault fix; reference --voxel_only semantics, train.py:34-35)."""
+    config = tiny_config()
+
+    sn = ShapeNetModel(voxel_only=True, **SN_TINY)
+    batch = sn_tiny_batch()
+    state = create_train_state(sn, config, jax.random.PRNGKey(0), batch.images)
+    res = validate(0, make_eval_step(sn), state, [batch], config,
+                   num_classes=13, rng=jax.random.PRNGKey(1), voxel_only=True)
+    assert np.isfinite(res["voxel_loss"]) and np.isfinite(res["voxel_iou"])
+    assert "chamfer_loss" not in res and "F1@0.1" in res  # F1 reported as 0-count avg
+
+    p3 = Pix3DModel(voxel_only=True, **P3D_TINY)
+    batch = p3d_tiny_batch()
+    state = create_train_state(p3, config, jax.random.PRNGKey(0), batch.images)
+    res = validate_pix3d(0, make_eval_step(p3), state, [batch], config,
+                         num_classes=10, rng=jax.random.PRNGKey(1), voxel_only=True)
+    for k in ("voxel_loss", "voxel_iou", "AP_box", "AP_mask"):
+        assert np.isfinite(res[k]), k
+    assert "chamfer_loss" not in res
+
+
 def test_train_epoch_updates_state_and_meters():
     """train_epoch drives the jitted step over a loader and folds metrics into
     the meters (reference: train_utils.py:174-250)."""
