@@ -26,6 +26,18 @@ echo "== A/B variants incl. donation-era default =="
 timeout 5400 python tools/ab_trace.py r3_default gather_then_dense \
   2>&1 | tee "$OUT/ab.log" | tail -2
 
+echo "== eval timing, fused single-dispatch metrics loop =="
+# Pre-fusion on-chip record: 18.3 s/batch end-to-end at these exact shapes
+# (PERFORMANCE.md round 3 — the loop then made ~8 dispatches/batch and pulled
+# full voxel/vertex buffers to the host). batch_time meter is the comparand.
+timeout 3600 python eval_model.py --model Pix3D --batchSize 4 \
+  --vert_capacity 4096 --face_capacity 8192 --edge_capacity 16384 \
+  --test_ratio 0.15 --output_path "$OUT/ev_p3d" \
+  2>&1 | tee "$OUT/eval_pix3d.log" | tail -3
+timeout 3600 python eval_model.py --model ShapeNet --batchSize 3 \
+  --test_ratio 0.15 --output_path "$OUT/ev_sn" \
+  2>&1 | tee "$OUT/eval_shapenet.log" | tail -3
+
 echo "== ShapeNet step profile (165 ms composition) =="
 timeout 3600 python tools/profile_step.py --model ShapeNet --top 25 \
   2>&1 | tee "$OUT/profile_shapenet.log" | tail -30
