@@ -239,22 +239,14 @@ def validate(epoch: int, eval_step: Callable, state, loader,
     f1_sums = {t: 0.0 for t in taus}
     f1_count = 0
     end = time.time()
-    for i, batch in enumerate(loader):
-        meters["data_loading"].update(time.time() - end)
-        images = jnp.asarray(batch.images)
-        out = eval_step(state, images)
-        key = jax.random.fold_in(rng, i)
 
-        # one fused metrics dispatch + ONE host transfer of scalars per batch
-        # (the model outputs never leave the device)
-        m = jax.device_get(_shapenet_eval_metrics(
-            key, out, jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
-            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
-            config.point_cloud_size, config.normal_k, config.distance_tile,
-            taus, voxel_only))
+    def drain(m_dev, labels, idx):
+        # blocks on batch idx's device work; batch idx+1 is already enqueued
+        nonlocal f1_count, end
+        m = jax.device_get(m_dev)
         meters["voxel_loss"].update(float(m["voxel_loss"]))
         meters["voxel_iou"].update(float(m["voxel_iou"]))
-        for p, t in zip(m["preds"], np.asarray(batch.labels)):
+        for p, t in zip(m["preds"], labels):
             confusion[int(t), int(p)] += 1
         if not voxel_only:
             meters["chamfer_loss"].update(float(m["chamfer_loss"]))
@@ -263,11 +255,32 @@ def validate(epoch: int, eval_step: Callable, state, loader,
             for j, tau in enumerate(taus):
                 f1_sums[tau] += float(m["f1_sum"][j])
             f1_count += int(m["f1_count"])
-
         meters["batch_time"].update(time.time() - end)
         end = time.time()
-        if i % print_freq == 0:
-            safe_print(f"eval [{i}/{len(loader)}] voxel {meters['voxel_loss'].avg:.4f}")
+        if idx % print_freq == 0:
+            safe_print(f"eval [{idx}/{len(loader)}] voxel {meters['voxel_loss'].avg:.4f}")
+
+    # one-deep software pipeline: dispatch batch i+1's forward + fused metrics
+    # (JAX dispatch is async) BEFORE blocking on batch i's scalars, so the host
+    # round-trip and meter accounting hide behind the next batch's device work
+    pending = None
+    for i, batch in enumerate(loader):
+        meters["data_loading"].update(time.time() - end)
+        images = jnp.asarray(batch.images)
+        out = eval_step(state, images)
+        key = jax.random.fold_in(rng, i)
+        # one fused metrics dispatch + ONE host transfer of scalars per batch
+        # (the model outputs never leave the device)
+        m_dev = _shapenet_eval_metrics(
+            key, out, jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
+            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+            config.point_cloud_size, config.normal_k, config.distance_tile,
+            taus, voxel_only)
+        prev, pending = pending, (m_dev, np.asarray(batch.labels))
+        if prev is not None:
+            drain(*prev, i - 1)
+    if pending is not None:
+        drain(*pending, i)
 
     results = {k: m.avg for k, m in meters.items()}
     # reference parity: F-beta over the classification confusion matrix
@@ -307,28 +320,16 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     f1_sums = {t: 0.0 for t in taus}
     f1_count = 0
     end = time.time()
-    for i, batch in enumerate(loader):
-        meters["data_loading"].update(time.time() - end)
-        images = jnp.asarray(batch.images)
-        out = eval_step(state, images)
-        key = jax.random.fold_in(rng, i)
 
-        # one fused metrics dispatch + ONE host transfer of scalars per batch:
-        # best-IoU selection, mask pasting, AP/voxel/mesh metrics all on-device
-        # (the eval loop previously made ~8 dispatches + host syncs per batch
-        # and pulled the full voxel/vertex buffers over the wire, then pushed
-        # the selected slots back)
-        m = jax.device_get(_pix3d_eval_metrics(
-            key, out, jnp.asarray(batch.boxes), jnp.asarray(batch.masks),
-            jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
-            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
-            config.point_cloud_size, config.normal_k, config.distance_tile,
-            taus, voxel_only))
+    def drain(m_dev, labels, idx):
+        # blocks on batch idx's device work; batch idx+1 is already enqueued
+        nonlocal f1_count, end
+        m = jax.device_get(m_dev)
         meters["AP_box"].update(float(m["ap_box"]))
         meters["AP_mask"].update(float(m["ap_mask"]))
         meters["voxel_loss"].update(float(m["voxel_loss"]))
         meters["voxel_iou"].update(float(m["voxel_iou"]))
-        for p, t in zip(m["best_labels"], np.asarray(batch.labels)):
+        for p, t in zip(m["best_labels"], labels):
             confusion[int(t), int(p)] += 1
         if not voxel_only:
             meters["chamfer_loss"].update(float(m["chamfer_loss"]))
@@ -337,11 +338,33 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
             for j, tau in enumerate(taus):
                 f1_sums[tau] += float(m["f1_sum"][j])
             f1_count += int(m["f1_count"])
-
         meters["batch_time"].update(time.time() - end)
         end = time.time()
-        if i % print_freq == 0:
-            safe_print(f"pix3d eval [{i}/{len(loader)}] AP_box {meters['AP_box'].avg:.3f}")
+        if idx % print_freq == 0:
+            safe_print(f"pix3d eval [{idx}/{len(loader)}] AP_box {meters['AP_box'].avg:.3f}")
+
+    # one-deep software pipeline (see validate): batch i+1's forward + fused
+    # metrics dispatch before blocking on batch i's scalars. The fused program
+    # does best-IoU selection, mask pasting, AP/voxel/mesh metrics on-device —
+    # the pre-fusion loop made ~8 dispatches + host syncs per batch and pulled
+    # the full voxel/vertex buffers over the wire, then pushed selections back.
+    pending = None
+    for i, batch in enumerate(loader):
+        meters["data_loading"].update(time.time() - end)
+        images = jnp.asarray(batch.images)
+        out = eval_step(state, images)
+        key = jax.random.fold_in(rng, i)
+        m_dev = _pix3d_eval_metrics(
+            key, out, jnp.asarray(batch.boxes), jnp.asarray(batch.masks),
+            jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
+            jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+            config.point_cloud_size, config.normal_k, config.distance_tile,
+            taus, voxel_only)
+        prev, pending = pending, (m_dev, np.asarray(batch.labels))
+        if prev is not None:
+            drain(*prev, i - 1)
+    if pending is not None:
+        drain(*pending, i)
 
     results = {k: m.avg for k, m in meters.items()}
     for beta, name in ((0.1, "f0_1"), (0.3, "f0_3"), (0.5, "f0_5")):
