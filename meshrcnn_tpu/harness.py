@@ -41,6 +41,9 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
     end = time.time()
 
     def record(metrics, n, i):
+        # blocks on step i's device work; step i+1 is already enqueued (the
+        # one-deep pipeline below) — the host-side meter accounting and any
+        # transfer latency hide behind the next step's compute
         nonlocal end
         metrics = jax.device_get(metrics)
         for k, v in metrics.items():
@@ -57,14 +60,24 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
             lambda x: jnp.asarray(x) if x is not None else None, batch)
         return shard_fn(batch) if shard_fn is not None else batch
 
+    # one-deep pipeline: the next step only needs the device-side state future,
+    # so it is dispatched BEFORE the previous step's metrics are pulled
+    pending = None
+
+    def dispatch(fn, *args, n, i):
+        nonlocal state, pending
+        state, metrics = fn(state, *args)
+        prev, pending = pending, (metrics, n, i)
+        if prev is not None:
+            record(*prev)
+
     group = []
     i = -1
     for i, batch in enumerate(loader):
         meters["data_loading"].update(time.time() - end)
         key = jax.random.fold_in(rng, epoch * 100000 + i)
         if multi_step_fn is None or steps_per_dispatch <= 1:
-            state, metrics = step_fn(state, to_device(batch), key)
-            record(metrics, 1, i)
+            dispatch(step_fn, to_device(batch), key, n=1, i=i)
             continue
         group.append(batch)
         if len(group) == steps_per_dispatch:
@@ -72,15 +85,15 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
             stacked = stack_batches(group)
             if group_shard_fn is not None:
                 stacked = group_shard_fn(stacked)
-            state, metrics = multi_step_fn(state, stacked, key)
-            record(metrics, len(group), i)
+            dispatch(multi_step_fn, stacked, key, n=len(group), i=i)
             group = []
     # epoch tail: run leftovers one-by-one through the single step, keeping the
     # epoch-global batch index for the progress display
     for j, batch in enumerate(group):
         key = jax.random.fold_in(rng, epoch * 100000 + 90000 + j)
-        state, metrics = step_fn(state, to_device(batch), key)
-        record(metrics, 1, i - len(group) + 1 + j)
+        dispatch(step_fn, to_device(batch), key, n=1, i=i - len(group) + 1 + j)
+    if pending is not None:
+        record(*pending)
 
     for m in meters.values():
         m.epoch_end()

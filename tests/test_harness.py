@@ -85,6 +85,27 @@ def test_validate_voxel_only_paths():
     assert "chamfer_loss" not in res
 
 
+def test_train_epoch_multi_step_group_and_tail():
+    """steps_per_dispatch staging through train_epoch: 3 batches at 2 steps per
+    dispatch = one scanned group + one leftover through the single step (the
+    pipelined dispatch must drain across the group/tail boundary)."""
+    from meshrcnn_tpu.parallel.train_step import make_multi_step
+
+    model = ShapeNetModel(**SN_TINY)
+    config = tiny_config()
+    batch = sn_tiny_batch()
+    state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
+    step = jax.jit(make_train_step(model, config))
+    multi = make_multi_step(model, config, 2)
+    meters = gcn_metrics(voxel_only=False)
+    new_state, meters = train_epoch(0, step, state, [batch, batch, batch], meters,
+                                    jax.random.PRNGKey(2), print_freq=100,
+                                    multi_step_fn=multi, steps_per_dispatch=2)
+    assert int(new_state.step) == 3
+    assert len(meters["loss"].history) == 1
+    assert np.isfinite(meters["loss"].history[-1])
+
+
 def test_train_epoch_updates_state_and_meters():
     """train_epoch drives the jitted step over a loader and folds metrics into
     the meters (reference: train_utils.py:174-250)."""
