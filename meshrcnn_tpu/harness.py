@@ -25,6 +25,38 @@ from meshrcnn_tpu.utils.meters import AverageMeter, ProgressMeter, gcn_metrics, 
 from meshrcnn_tpu.utils.metrics import f_score
 
 
+def _timed_iter(loader, meter: AverageMeter):
+    """Iterate ``loader`` booking ONLY the ``next()`` wall time to ``meter``.
+
+    The previous loops measured data_loading as "time since the last drain",
+    which silently swallowed the first dispatch's XLA compile / compile-cache
+    deserialization (tens of seconds) into the data_loading average — on short
+    synthetic runs that misattribution dominated every reported meter.
+    """
+    it = iter(loader)
+    while True:
+        t0 = time.time()
+        try:
+            batch = next(it)
+        except StopIteration:
+            return
+        meter.update(time.time() - t0)
+        yield batch
+
+
+def _book_step_time(meters: Dict[str, AverageMeter], dt: float) -> None:
+    """First completed step of a fresh run is warmup (compile / cache load),
+    reported under its own meter; every later step is a real batch_time."""
+    bt = meters["batch_time"]
+    if bt.count == 0 and not bt.history:
+        if "warmup_time" not in meters:
+            meters["warmup_time"] = AverageMeter("warmup_time", ":6.3f")
+        if meters["warmup_time"].count == 0:
+            meters["warmup_time"].update(dt)
+            return
+    bt.update(dt)
+
+
 def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, AverageMeter],
                 rng: jax.Array, print_freq: int = 10, shard_fn: Optional[Callable] = None,
                 multi_step_fn: Optional[Callable] = None, steps_per_dispatch: int = 1,
@@ -50,7 +82,7 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
             if k not in meters:
                 meters[k] = AverageMeter(k, ":.4f")
             meters[k].update(float(v), n=n)
-        meters["batch_time"].update(time.time() - end)
+        _book_step_time(meters, time.time() - end)
         end = time.time()
         if (i // max(steps_per_dispatch, 1)) % print_freq == 0:
             progress.display(i)
@@ -73,8 +105,7 @@ def train_epoch(epoch: int, step_fn: Callable, state, loader, meters: Dict[str, 
 
     group = []
     i = -1
-    for i, batch in enumerate(loader):
-        meters["data_loading"].update(time.time() - end)
+    for i, batch in enumerate(_timed_iter(loader, meters["data_loading"])):
         key = jax.random.fold_in(rng, epoch * 100000 + i)
         if multi_step_fn is None or steps_per_dispatch <= 1:
             dispatch(step_fn, to_device(batch), key, n=1, i=i)
@@ -268,7 +299,7 @@ def validate(epoch: int, eval_step: Callable, state, loader,
             for j, tau in enumerate(taus):
                 f1_sums[tau] += float(m["f1_sum"][j])
             f1_count += int(m["f1_count"])
-        meters["batch_time"].update(time.time() - end)
+        _book_step_time(meters, time.time() - end)
         end = time.time()
         if idx % print_freq == 0:
             safe_print(f"eval [{idx}/{len(loader)}] voxel {meters['voxel_loss'].avg:.4f}")
@@ -277,8 +308,7 @@ def validate(epoch: int, eval_step: Callable, state, loader,
     # (JAX dispatch is async) BEFORE blocking on batch i's scalars, so the host
     # round-trip and meter accounting hide behind the next batch's device work
     pending = None
-    for i, batch in enumerate(loader):
-        meters["data_loading"].update(time.time() - end)
+    for i, batch in enumerate(_timed_iter(loader, meters["data_loading"])):
         images = jnp.asarray(batch.images)
         out = eval_step(state, images)
         key = jax.random.fold_in(rng, i)
@@ -351,7 +381,7 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
             for j, tau in enumerate(taus):
                 f1_sums[tau] += float(m["f1_sum"][j])
             f1_count += int(m["f1_count"])
-        meters["batch_time"].update(time.time() - end)
+        _book_step_time(meters, time.time() - end)
         end = time.time()
         if idx % print_freq == 0:
             safe_print(f"pix3d eval [{idx}/{len(loader)}] AP_box {meters['AP_box'].avg:.3f}")
@@ -362,8 +392,7 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     # the pre-fusion loop made ~8 dispatches + host syncs per batch and pulled
     # the full voxel/vertex buffers over the wire, then pushed selections back.
     pending = None
-    for i, batch in enumerate(loader):
-        meters["data_loading"].update(time.time() - end)
+    for i, batch in enumerate(_timed_iter(loader, meters["data_loading"])):
         images = jnp.asarray(batch.images)
         out = eval_step(state, images)
         key = jax.random.fold_in(rng, i)
