@@ -161,6 +161,55 @@ def knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
     return -neg_top, top_idx
 
 
+def batched_knn(p: jnp.ndarray, q: jnp.ndarray, k: int, tile: int = 2048,
+                subtile: int = 128, exact: bool = False
+                ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-sample approximate kNN over a batch: p [B,N,3], q [B,M,3] ->
+    (dists [B,N,k], idx [B,N,k]).
+
+    On the TPU fused-kNN path the whole batch runs as ONE Pallas launch
+    (grid (B, I, J)) + one flat top-k merge — vs the previous lax.map over
+    per-sample calls, whose scan-carry while loops serialized the batch
+    (6 x ~7.8 ms in the Pix3D step profile). Per-sample results are identical
+    to ``knn`` (same candidate semantics and merge). All other paths keep the
+    compile-once lax.map (VERDICT r2 weak item 6 — program size flat in B).
+    """
+    import os
+    B, N = p.shape[0], p.shape[1]
+    M = q.shape[1]
+    use_batched = (not exact and M > 1024
+                   and jax.default_backend() == "tpu"
+                   and os.environ.get("MESHRCNN_FUSED_KNN", "1") == "1"
+                   and os.environ.get("MESHRCNN_BATCHED_KNN", "1") == "1")
+    if not use_batched:
+        return jax.lax.map(lambda pq: knn(pq[0], pq[1], k, tile,
+                                          subtile=subtile, exact=exact), (p, q))
+    # adaptive subtile: same rule as knn() (shapes are batch-uniform)
+    T = min(tile, M)
+    s = min(subtile, T)
+    target = max(8, M // (8 * k))
+    while s > 8 and (s > target or T % s):
+        s //= 2
+    from meshrcnn_tpu.ops.chamfer_pallas import TILE as P_TILE
+    from meshrcnn_tpu.ops.chamfer_pallas import knn_candidates_pallas_batched
+    from meshrcnn_tpu.ops.gather import take_along_rows
+    ps = s
+    while P_TILE % ps:
+        ps //= 2
+    vals, idxs = knn_candidates_pallas_batched(p, q, subtile=max(ps, 8))
+    C = vals.shape[-1]
+    kk = min(k, M)
+    # rank-2 merge (the same shape class knn's single-sample merge compiles to;
+    # a rank-3 vmapped top_k legalises to the full-SORT fallback on TPU)
+    neg_top, pos = jax.lax.top_k(-vals.reshape(B * N, C), kk)
+    top_idx = take_along_rows(idxs.reshape(B * N, C), pos)
+    if kk < k:
+        rep = k - kk
+        neg_top = jnp.concatenate([neg_top, jnp.tile(neg_top[:, -1:], (1, rep))], 1)
+        top_idx = jnp.concatenate([top_idx, jnp.tile(top_idx[:, -1:], (1, rep))], 1)
+    return -neg_top.reshape(B, N, k), top_idx.reshape(B, N, k)
+
+
 def chamfer_distance(p: jnp.ndarray, q: jnp.ndarray, tile: int = 2048):
     """Summed two-sided chamfer terms plus NN indices for one cloud pair.
 
@@ -249,12 +298,9 @@ def batched_compute_normals(pts: jnp.ndarray, k: int = 10,
     from meshrcnn_tpu.ops.gather import batched_gather_rows
 
     B, N, _ = pts.shape
-    # lax.map (a scan) over the batch: the body compiles ONCE regardless of B —
-    # unlike the old Python unroll, whose program size and compile time grew
-    # linearly in B (VERDICT r2 weak item 6) — and unlike vmap it keeps knn's
-    # internals at per-sample rank, so top-k never legalises to the full SORT
-    # fallback (~38 ms/step per call measured when vmapped).
-    idx = jax.lax.map(lambda p: knn(p, p, k, tile, exact=exact)[1], pts)
+    # one batched Pallas launch on TPU; compile-once lax.map elsewhere (see
+    # batched_knn — the rank-2 merge keeps top-k off the full-SORT fallback)
+    idx = batched_knn(pts, pts, k, tile, exact=exact)[1]
 
     neigh = batched_gather_rows(pts, idx.reshape(B, N * k)).reshape(B, N, k, 3)
     mean = jnp.mean(neigh, axis=2, keepdims=True)

@@ -98,3 +98,24 @@ def test_batched_fused_matches_per_sample():
         gs_p, gs_q = grad_s(p[b], q[b])
         np.testing.assert_allclose(np.asarray(gb_p[b]), np.asarray(gs_p), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(gb_q[b]), np.asarray(gs_q), rtol=1e-5)
+
+
+def test_batched_knn_matches_per_sample():
+    """batched_knn must equal per-sample knn on every backend (CPU: pins the
+    lax.map plumbing; TPU: pins the batched Pallas kernel + rank-2 merge
+    against the single-sample kernel)."""
+    from meshrcnn_tpu.ops.chamfer import batched_knn, knn
+
+    rng = np.random.RandomState(7)
+    B, N, M, k = 3, 1500, 2000, 10
+    p = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    d_b, i_b = jax.jit(lambda a, b: batched_knn(a, b, k, tile=512))(p, q)
+    single = jax.jit(lambda a, b: knn(a, b, k, tile=512))
+    for b in range(B):
+        d_s, i_s = single(p[b], q[b])
+        np.testing.assert_allclose(np.asarray(d_b[b]), np.asarray(d_s),
+                                   rtol=1e-5, atol=1e-5)
+        ib, is_ = np.asarray(i_b[b]), np.asarray(i_s)
+        same = np.mean([set(ib[r]) == set(is_[r]) for r in range(N)])
+        assert same > 0.99, same

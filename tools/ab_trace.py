@@ -36,7 +36,15 @@ VARIANTS = [
 
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
-            "MESHRCNN_PROJECT_FIRST": "1"}
+            "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1"}
+
+# Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
+# live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
+PIX3D_VARIANTS = [
+    ("p3_r3_default", {}, {}),
+    ("p3_laxmap_knn", {"MESHRCNN_BATCHED_KNN": "0"}, {}),
+    ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
+]
 
 
 def main():
@@ -46,13 +54,19 @@ def main():
 
     import bench
 
-    only = sys.argv[1:] or None
-    for name, env, kwargs in VARIANTS:
+    args = sys.argv[1:]
+    pix3d = "--pix3d" in args
+    only = [a for a in args if a != "--pix3d"] or None
+    variants = PIX3D_VARIANTS if pix3d else VARIANTS
+    for name, env, kwargs in variants:
         if only and name not in only:
             continue
         os.environ.update(BASE_ENV)
         os.environ.update(env)
-        result, times = bench.bench_shapenet(3, **kwargs)
+        if pix3d:
+            result, times = bench.bench_pix3d(4, **kwargs)
+        else:
+            result, times = bench.bench_shapenet(3, **kwargs)
         out = {"variant": name, "samples_per_sec": result["value"],
                "ms_per_step": round(1000.0 * float(np.median(times)) / bench.N_STEPS, 1),
                "window_s": [round(t, 3) for t in times]}
