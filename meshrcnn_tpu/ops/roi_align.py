@@ -1,27 +1,132 @@
-"""RoIAlign and multiscale (FPN) RoIAlign as batched XLA gathers.
+"""RoIAlign and multiscale (FPN) RoIAlign — separable-matmul on the MXU.
 
 TPU-native replacement for torchvision's C++/CUDA ``MultiScaleRoIAlign``
 (reference: meshRCNN/layers.py:5, 819-842; pix3d_model.py:173-175; SURVEY.md §2.9).
 For each RoI an ``output_size x output_size`` grid of bins is sampled with
 ``sampling_ratio`` bilinear points per bin and averaged — the exact RoIAlign
-semantics (Mask R-CNN paper) — implemented as one fixed-shape gather per FPN level
-with level assignment done by masking, so the whole op jits with static shapes.
+semantics (Mask R-CNN paper).
+
+Two implementations, selected by ``MESHRCNN_MATMUL_ROIALIGN`` (default on):
+
+* **Separable matmul** (default): bilinear sampling factorizes per axis —
+  out[r,i,j] = sum_y sum_x WY[r,i,y] * WX[r,j,x] * fmap[y,x] — and the s x s
+  bin average folds into the axis weights ((1/s) sum over sample rows), so the
+  whole op is TWO dense einsums on the MXU. The per-RoI FPN level one-hot
+  folds into WY, so level selection costs nothing extra. This replaced the
+  corner-gather path after profiling: at Pix3D production shapes the gathers
+  and their backward scatter-adds were ~29% of the whole train step (94 ms —
+  XLA:TPU gathers run ~0.5 GB/s; the dense einsums are ~200 GFLOP/step on a
+  197 TFLOP/s MXU). The backward is einsum transposes — no scatters at all.
+* **Corner gather** (``MESHRCNN_MATMUL_ROIALIGN=0``): one fixed-shape
+  flattened-index gather per bilinear corner (vmapped gathers hit the XLA-TPU
+  slow path, ops/gather.py). Kept as the semantic reference; equality is
+  pytest-pinned.
 """
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 
+def _use_matmul() -> bool:
+    return os.environ.get("MESHRCNN_MATMUL_ROIALIGN", "1") == "1"
+
+
+# ---------------------------------------------------------------------------
+# separable-matmul path
+# ---------------------------------------------------------------------------
+
+def _axis_weights(start, bin_size, hi, size: int, output_size: int, s: int):
+    """Dense bin-averaged bilinear weights along one axis.
+
+    start: [B, R] RoI lower edge (level units); bin_size: [B, R];
+    hi: [B, R] float32 max valid coordinate (level extent - 1);
+    size: static padded axis length; s: sampling_ratio.
+    Returns [B, R, output_size, size] float32 with sum 1 per (b, r, bin).
+    """
+    O = output_size
+    grid = (jnp.arange(O, dtype=jnp.float32)[:, None]
+            + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s).reshape(-1)
+    cs = start[..., None] + grid * bin_size[..., None]            # [B, R, O*s]
+    cs = jnp.clip(cs, 0.0, hi[..., None])
+    c0 = jnp.floor(cs)
+    f = cs - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, hi[..., None].astype(jnp.int32))
+    pos = jnp.arange(size, dtype=jnp.int32)
+    w = ((pos == c0i[..., None]).astype(jnp.float32) * (1.0 - f)[..., None]
+         + (pos == c1i[..., None]).astype(jnp.float32) * f[..., None])
+    B, R = start.shape
+    # fold the bin average into the weights: mean over the s sample rows
+    return w.reshape(B, R, O, s, size).mean(axis=3)               # [B, R, O, size]
+
+
+def _apply_separable(stack2d: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray,
+                     Wm: int, C: int) -> jnp.ndarray:
+    """stack2d [B, Y, Wm*C] (Y = rows, possibly L*Hm), wy [B, R, O, Y],
+    wx [B, R, O, Wm] -> [B, R, O, O, C]."""
+    dt = stack2d.dtype
+    acc = jnp.float32
+    tmp = jnp.einsum("broy,byq->broq", wy.astype(dt), stack2d,
+                     preferred_element_type=acc)                   # [B,R,O,Wm*C]
+    B, R, O = wy.shape[:3]
+    tmp = tmp.reshape(B, R, O, Wm, C).astype(dt)
+    out = jnp.einsum("brjx,brixc->brijc", wx.astype(dt), tmp,
+                     preferred_element_type=acc)                   # [B,R,O,O,C]
+    return out
+
+
+def _roi_align_mm(fmap, boxes, spatial_scale, output_size, sampling_ratio):
+    B, H, W, C = fmap.shape
+    b = boxes * spatial_scale
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1.0) / output_size
+    s = max(sampling_ratio, 1)
+    hiy = jnp.full(y1.shape, H - 1, jnp.float32)
+    hix = jnp.full(x1.shape, W - 1, jnp.float32)
+    wy = _axis_weights(y1, bin_h, hiy, H, output_size, s)
+    wx = _axis_weights(x1, bin_w, hix, W, output_size, s)
+    return _apply_separable(fmap.reshape(B, H, W * C), wy, wx, W, C)
+
+
+def _multiscale_roi_align_mm(stack, k, Hs, Ws, boxes, image_size,
+                             output_size, sampling_ratio):
+    """stack [B, L, Hm, Wm, C]; k [B, R] 0-based level per RoI."""
+    B, L, Hm, Wm, C = stack.shape
+    H, _ = image_size
+    scales = jnp.asarray([h / H for h in Hs], jnp.float32)[k]      # [B, R]
+    Hl = jnp.asarray(Hs, jnp.int32)[k]
+    Wl = jnp.asarray(Ws, jnp.int32)[k]
+    b = boxes * scales[..., None]
+    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    bin_w = jnp.maximum(x2 - x1, 1.0) / output_size
+    bin_h = jnp.maximum(y2 - y1, 1.0) / output_size
+    s = max(sampling_ratio, 1)
+    wy = _axis_weights(y1, bin_h, (Hl - 1).astype(jnp.float32), Hm,
+                       output_size, s)                             # [B,R,O,Hm]
+    wx = _axis_weights(x1, bin_w, (Wl - 1).astype(jnp.float32), Wm,
+                       output_size, s)
+    # fold the level one-hot into the row weights: [B,R,O,L,Hm] -> [B,R,O,L*Hm]
+    lvl = (jnp.arange(L, dtype=jnp.int32) == k[..., None]).astype(jnp.float32)
+    wyl = (wy[:, :, :, None, :] * lvl[:, :, None, :, None]).reshape(
+        B, wy.shape[1], output_size, L * Hm)
+    return _apply_separable(stack.reshape(B, L * Hm, Wm * C), wyl, wx, Wm, C)
+
+
+# ---------------------------------------------------------------------------
+# corner-gather path (semantic reference; MESHRCNN_MATMUL_ROIALIGN=0)
+# ---------------------------------------------------------------------------
+
 def roi_align(fmap: jnp.ndarray, boxes: jnp.ndarray, spatial_scale: float,
               output_size: int, sampling_ratio: int = 2) -> jnp.ndarray:
-    """Batched single-level RoIAlign: fmap [B,H,W,C], boxes [B,R,4] -> [B,R,os,os,C].
-
-    Implemented batched with flattened global-index gathers (batch offset folded
-    into the index) — vmapped gathers hit the XLA-TPU slow path (ops/gather.py).
-    """
+    """Batched single-level RoIAlign: fmap [B,H,W,C], boxes [B,R,4] -> [B,R,os,os,C]."""
+    if _use_matmul():
+        return _roi_align_mm(fmap, boxes, spatial_scale, output_size,
+                             sampling_ratio)
     B, H, W, C = fmap.shape
     R = boxes.shape[1]
     b = boxes * spatial_scale
@@ -78,12 +183,10 @@ def multiscale_roi_align(feature_maps: Sequence[jnp.ndarray], boxes: jnp.ndarray
     """FPN-level-aware RoIAlign (torchvision MultiScaleRoIAlign semantics).
 
     Level assignment: k = floor(k0 + log2(sqrt(area)/224)) clamped to available
-    levels (FPN paper eqn. 1). Instead of pooling every level for every box and
-    mask-selecting (4x the gather work plus 4 full [B,R,os,os,C] mask-multiply
-    passes — profiled at a large share of the Pix3D step, PERFORMANCE.md), the
-    levels are zero-padded to a common spatial size and stacked, the per-RoI
-    level index becomes part of the flat gather offset, and each RoI samples
-    ONLY its own level. The padding is never read: sample coordinates are
+    levels (FPN paper eqn. 1). The levels are zero-padded to a common spatial
+    size and stacked; each RoI reads ONLY its own level (matmul path: the level
+    one-hot folds into the row weights; gather path: the level index folds into
+    the flat gather offset). The padding is never read: sample coordinates are
     clipped to the assigned level's true bounds per RoI.
 
     feature_maps: list of [B, H_l, W_l, C] from highest resolution to lowest.
@@ -104,6 +207,10 @@ def multiscale_roi_align(feature_maps: Sequence[jnp.ndarray], boxes: jnp.ndarray
                         * (boxes[..., 3] - boxes[..., 1]), 1e-6)
     k = jnp.floor(canonical_level + jnp.log2(jnp.sqrt(areas) / canonical_scale))
     k = jnp.clip(k, 2, 2 + L - 1).astype(jnp.int32) - 2            # [B, R] 0-based
+
+    if _use_matmul():
+        return _multiscale_roi_align_mm(stack, k, Hs, Ws, boxes, image_size,
+                                        output_size, sampling_ratio)
 
     scales = jnp.asarray([h / H for h in Hs], jnp.float32)[k]      # [B, R]
     Hl = jnp.asarray(Hs, jnp.int32)[k]                             # [B, R]

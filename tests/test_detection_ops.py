@@ -244,3 +244,54 @@ def test_balanced_sample_zero_positive_quota():
     assert is_pos.sum() == 0                      # quota floor(2*0.25) = 0
     assert valid.sum() == 2                       # refilled entirely by negatives
     assert all(not positive[i] for i in idx[valid])
+
+
+def test_roi_align_matmul_matches_gather():
+    """The separable-matmul RoIAlign (default) must equal the corner-gather
+    path exactly in f32 — same sample points, same bin average, only the
+    contraction order differs. Covers single-level and multiscale, both
+    sampling ratios, degenerate and edge-touching boxes, and gradients."""
+    import os
+    import jax
+    from meshrcnn_tpu.ops import roi_align as ra
+
+    rng = np.random.RandomState(3)
+    B, R, C = 2, 7, 8
+    fmap = jnp.asarray(rng.randn(B, 24, 20, C).astype(np.float32))
+    boxes = []
+    for _ in range(B):
+        x1 = rng.uniform(0, 150, R); y1 = rng.uniform(0, 150, R)
+        bx = np.stack([x1, y1, x1 + rng.uniform(0.1, 80, R),
+                       y1 + rng.uniform(0.1, 80, R)], -1)
+        boxes.append(bx)
+    boxes = jnp.asarray(np.stack(boxes).astype(np.float32))
+    # edge cases: zero-size box, box past the image edge
+    boxes = boxes.at[0, 0].set(jnp.asarray([5.0, 5.0, 5.0, 5.0]))
+    boxes = boxes.at[0, 1].set(jnp.asarray([140.0, 150.0, 400.0, 400.0]))
+
+    fmaps = [jnp.asarray(rng.randn(B, 32, 28, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 16, 14, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 8, 7, C).astype(np.float32))]
+
+    for s in (1, 2):
+        os.environ["MESHRCNN_MATMUL_ROIALIGN"] = "0"
+        g1 = np.asarray(jax.jit(lambda f, b: ra.roi_align(f, b, 0.125, 5, s))(fmap, boxes))
+        gm = np.asarray(jax.jit(lambda fs, b: ra.multiscale_roi_align(
+            fs, b, (128, 112), 5, s))(fmaps, boxes))
+        os.environ["MESHRCNN_MATMUL_ROIALIGN"] = "1"
+        m1 = np.asarray(jax.jit(lambda f, b: ra.roi_align(f, b, 0.125, 5, s))(fmap, boxes))
+        mm = np.asarray(jax.jit(lambda fs, b: ra.multiscale_roi_align(
+            fs, b, (128, 112), 5, s))(fmaps, boxes))
+        np.testing.assert_allclose(m1, g1, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(mm, gm, rtol=1e-5, atol=1e-5)
+
+    # gradients w.r.t. the feature maps must match (backward is einsum
+    # transposes on the matmul path, scatter-adds on the gather path)
+    def loss_fn(f):
+        return jnp.sum(ra.roi_align(f, boxes, 0.125, 5, 2) ** 2)
+    os.environ["MESHRCNN_MATMUL_ROIALIGN"] = "0"
+    gg = np.asarray(jax.grad(loss_fn)(fmap))
+    os.environ["MESHRCNN_MATMUL_ROIALIGN"] = "1"
+    gm_ = np.asarray(jax.grad(loss_fn)(fmap))
+    np.testing.assert_allclose(gm_, gg, rtol=1e-4, atol=1e-4)
+    os.environ.pop("MESHRCNN_MATMUL_ROIALIGN")

@@ -36,7 +36,8 @@ VARIANTS = [
 
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
-            "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1"}
+            "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
+            "MESHRCNN_MATMUL_ROIALIGN": "1"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -44,6 +45,7 @@ PIX3D_VARIANTS = [
     ("p3_r3_default", {}, {}),
     ("p3_laxmap_knn", {"MESHRCNN_BATCHED_KNN": "0"}, {}),
     ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
+    ("p3_gather_roialign", {"MESHRCNN_MATMUL_ROIALIGN": "0"}, {}),
 ]
 
 
