@@ -318,16 +318,26 @@ def compute_normals(pts: jnp.ndarray, k: int = 10, tile: int = 2048) -> jnp.ndar
 
 def batched_normal_distance(p: jnp.ndarray, q: jnp.ndarray, idx_p: jnp.ndarray,
                             idx_q: jnp.ndarray, k: int = 10, tile: int = 2048,
-                            exact: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+                            exact: bool = False,
+                            normals_p: jnp.ndarray | None = None,
+                            normals_q: jnp.ndarray | None = None
+                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Two-sided per-sample summed |cos| normal alignment for clouds [B, N, 3].
 
     Mirrors the reference ``batched_normal_distance`` (loss_functions.py:107-126)
     with corrected per-cloud normal estimation. Returns ([B] sum_p, [B] sum_q).
+
+    When ``normals_p``/``normals_q`` are provided (unit [B, N, 3] — e.g. the
+    exact face normals returned by sampling.batched_sample_points), the kNN +
+    PCA estimation is skipped entirely for that cloud; the |cos| alignment is
+    orientation-invariant, so estimator sign conventions don't matter.
     """
     from meshrcnn_tpu.ops.gather import batched_gather_rows
 
-    n_p = batched_compute_normals(p, k=k, tile=tile, exact=exact)
-    n_q = batched_compute_normals(q, k=k, tile=tile, exact=exact)
+    n_p = (normals_p if normals_p is not None
+           else batched_compute_normals(p, k=k, tile=tile, exact=exact))
+    n_q = (normals_q if normals_q is not None
+           else batched_compute_normals(q, k=k, tile=tile, exact=exact))
     nn_p = batched_gather_rows(n_q, idx_p)
     nn_q = batched_gather_rows(n_p, idx_q)
     align_p = jnp.sum(jnp.abs(jnp.sum(n_p * nn_p, axis=-1)), axis=1)

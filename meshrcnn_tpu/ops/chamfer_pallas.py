@@ -44,9 +44,8 @@ def _pad_points_t(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return xt
 
 
-def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
-    j = pl.program_id(1)
-    i = pl.program_id(0)
+def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
+                 argq_part_ref, i, j):
     pt = pt_ref[:]                     # [8, TP]
     qt = qt_ref[:]                     # [8, TQ]
     pq = jax.lax.dot_general(pt, qt, (((0,), (0,)), ((), ())),
@@ -56,14 +55,21 @@ def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
     qq = jnp.sum(qt * qt, axis=0)      # [TQ]
     d = pp[:, None] + qq[None, :] - 2.0 * pq
 
-    # p -> q direction: running min over j (block revisited; j is the minor axis)
+    # p -> q direction: running min over j (block revisited; j is the minor
+    # axis). The block is 8 sublanes tall (a 1-sublane block is only legal
+    # when it equals the full array dim, which the batched [B*8, n_pad]
+    # layout can't satisfy); row 0 is real, rows 1..7 are written once at
+    # j == 0 and sliced off outside.
     tile_min = jnp.min(d, axis=1)
     tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * d.shape[1]
 
     @pl.when(j == 0)
     def _():
-        minp_ref[0, :] = tile_min
-        argp_ref[0, :] = tile_arg
+        minp_ref[:] = jnp.concatenate(
+            [tile_min[None, :],
+             jnp.full((7, d.shape[0]), BIG, dtype=jnp.float32)], axis=0)
+        argp_ref[:] = jnp.concatenate(
+            [tile_arg[None, :], jnp.zeros((7, d.shape[0]), jnp.int32)], axis=0)
 
     @pl.when(j > 0)
     def _():
@@ -79,6 +85,18 @@ def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
     arg0 = jnp.argmin(d, axis=0).astype(jnp.int32) + i * d.shape[0]
     argq_part_ref[:] = jnp.concatenate(
         [arg0[None, :], jnp.zeros((7, d.shape[1]), jnp.int32)], axis=0)
+
+
+def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
+    _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
+                 argq_part_ref, pl.program_id(0), pl.program_id(1))
+
+
+def _kernel_b(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
+    """Rank-2 batched wrapper: grid (B, I, J); the batch is resolved entirely
+    by the BlockSpec index maps, so the body only needs (i, j)."""
+    _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
+                 argq_part_ref, pl.program_id(1), pl.program_id(2))
 
 
 @partial(jax.jit, static_argnames=())
@@ -101,14 +119,14 @@ def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray):
             pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((8, n_pad), jnp.int32),
             jax.ShapeDtypeStruct((8 * I, m_pad), jnp.float32),
             jax.ShapeDtypeStruct((8 * I, m_pad), jnp.int32),
         ],
@@ -182,50 +200,19 @@ chamfer_sums_fused.defvjp(_fwd, _bwd)
 # batched variant: grid over (batch, p tiles, q tiles)
 # ---------------------------------------------------------------------------
 
-def _kernel_batched(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
-    """Same tile math as _kernel, with a leading batch grid axis.
-
-    Batching into the grid (instead of lax.map over per-sample kernel calls)
-    removes the scan carry: at B=3 the lax.map wrapper's dynamic-slice/
-    dynamic-update-slice while loop profiled at ~6.7 ms/stage ON TOP of the
-    ~6.3 ms of kernel time it wrapped (hlo_stats, PERFORMANCE.md round 3).
-    """
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    pt = pt_ref[0]                     # [8, TP]
-    qt = qt_ref[0]                     # [8, TQ]
-    pq = jax.lax.dot_general(pt, qt, (((0,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)   # [TP, TQ]
-    pp = jnp.sum(pt * pt, axis=0)
-    qq = jnp.sum(qt * qt, axis=0)
-    d = pp[:, None] + qq[None, :] - 2.0 * pq
-
-    tile_min = jnp.min(d, axis=1)
-    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * d.shape[1]
-
-    @pl.when(j == 0)
-    def _():
-        minp_ref[0, 0, :] = tile_min
-        argp_ref[0, 0, :] = tile_arg
-
-    @pl.when(j > 0)
-    def _():
-        prev = minp_ref[0, 0, :]
-        take = tile_min < prev
-        minp_ref[0, 0, :] = jnp.where(take, tile_min, prev)
-        argp_ref[0, 0, :] = jnp.where(take, tile_arg, argp_ref[0, 0, :])
-
-    filler = jnp.full((7, d.shape[1]), BIG, dtype=jnp.float32)
-    minq_part_ref[0] = jnp.concatenate([jnp.min(d, axis=0)[None, :], filler], axis=0)
-    arg0 = jnp.argmin(d, axis=0).astype(jnp.int32) + i * d.shape[0]
-    argq_part_ref[0] = jnp.concatenate(
-        [arg0[None, :], jnp.zeros((7, d.shape[1]), jnp.int32)], axis=0)
-
-
 def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray):
     """Batched fused bidirectional NN: p [B,N,3], q [B,M,3] -> per-sample
-    (d_p [B,N], i_p [B,N], d_q [B,M], i_q [B,M])."""
+    (d_p [B,N], i_p [B,N], d_q [B,M], i_q [B,M]).
+
+    Operand/result layout is RANK-2 with the batch folded into the row axis
+    (points [B*8, n_pad], results [B, n_pad] / [B*8I, m_pad]) and the batch
+    resolved by the BlockSpec index maps. The rank-3 layout this replaced
+    ((1, 8, TILE) blocks over [B, 8, n_pad]) compiled but ran ~80x slower per
+    grid cell than the single-sample kernel (8.4 ms vs 4x26 us at B=4,
+    N=M=10k — Pix3D step profile, PERFORMANCE.md round 3): Mosaic handles the
+    leading-unit-dim blocks via per-cell relayouts. With rank-2 blocks the
+    kernel body is BYTE-IDENTICAL to the single-sample kernel's.
+    """
     B, N = p.shape[0], p.shape[1]
     M = q.shape[1]
     n_pad = -(-N // TILE) * TILE
@@ -234,36 +221,40 @@ def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray):
     J = m_pad // TILE
     pt = jax.vmap(_pad_points_t, in_axes=(0, None))(p, n_pad)   # [B, 8, n_pad]
     qt = jax.vmap(_pad_points_t, in_axes=(0, None))(q, m_pad)
+    pt2 = pt.reshape(B * 8, n_pad)
+    qt2 = qt.reshape(B * 8, m_pad)
 
     minp, argp, minq_part, argq_part = pl.pallas_call(
-        _kernel_batched,
+        _kernel_b,
         grid=(B, I, J),
         in_specs=[
-            pl.BlockSpec((1, 8, TILE), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE), lambda b, i, j: (b, 0, j),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, TILE), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TILE), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b * I + i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, TILE), lambda b, i, j: (b, i, j),
+            pl.BlockSpec((8, TILE), lambda b, i, j: (b * I + i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1, n_pad), jnp.int32),
-            jax.ShapeDtypeStruct((B, 8 * I, m_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, 8 * I, m_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B * 8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * 8, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B * 8 * I, m_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * 8 * I, m_pad), jnp.int32),
         ],
-    )(pt, qt)
+    )(pt2, qt2)
 
-    d_p = minp[:, 0, :N]
-    i_p = jnp.clip(argp[:, 0, :N], 0, M - 1)
+    d_p = minp.reshape(B, 8, n_pad)[:, 0, :N]
+    i_p = jnp.clip(argp.reshape(B, 8, n_pad)[:, 0, :N], 0, M - 1)
+    minq_part = minq_part.reshape(B, 8 * I, m_pad)
+    argq_part = argq_part.reshape(B, 8 * I, m_pad)
     best_row = jnp.argmin(minq_part, axis=1)                        # [B, m_pad]
     d_q = jnp.min(minq_part, axis=1)[:, :M]
     i_q = jnp.take_along_axis(argq_part, best_row[:, None, :], axis=1)[:, 0, :M]
@@ -308,7 +299,7 @@ chamfer_sums_fused_batched.defvjp(_fwd_batched, _bwd_batched)
 # kNN candidate kernel: subtile-min candidates without materialising [N, M]
 # ---------------------------------------------------------------------------
 
-def _knn_kernel(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
+def _knn_kernel_j(pt_ref, qt_ref, vals_ref, args_ref, j, *, subtile: int):
     """One (p-tile, q-tile) block: distance gram in VMEM, per-subtile min/argmin.
 
     The XLA lowering of the same computation materialises every [N, TILE]
@@ -316,7 +307,6 @@ def _knn_kernel(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
     across the normal-loss kNN calls, PERFORMANCE.md); here the gram never
     leaves VMEM and only the [TP, TILE/subtile] candidates are written.
     """
-    j = pl.program_id(1)
     pt = pt_ref[:]                     # [8, TP]
     qt = qt_ref[:]                     # [8, TQ]
     # gram computed TRANSPOSED ([TQ, TP]): q subtiles then live on the sublane
@@ -336,6 +326,11 @@ def _knn_kernel(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
     sub = jnp.argmin(dg, axis=1).astype(jnp.int32)                 # [G, TP]
     base = j * tq + jax.lax.broadcasted_iota(jnp.int32, (g, tp), 0) * subtile
     args_ref[:] = sub + base
+
+
+def _knn_kernel(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
+    _knn_kernel_j(pt_ref, qt_ref, vals_ref, args_ref, pl.program_id(1),
+                  subtile=subtile)
 
 
 def knn_candidates_pallas(p: jnp.ndarray, q: jnp.ndarray, subtile: int = 64,
@@ -360,6 +355,9 @@ def knn_candidates_pallas(p: jnp.ndarray, q: jnp.ndarray, subtile: int = 64,
     I = n_pad // tile
     J = m_pad // tile
     assert tile % subtile == 0, (tile, subtile)
+    # the candidate block is (G, tile): Mosaic needs the sublane dim
+    # divisible by 8, so cap the subtile at tile // 8
+    subtile = min(subtile, tile // 8)
     G = tile // subtile
     pt = _pad_points_t(p, n_pad)
     qt = _pad_points_t(q, m_pad)
@@ -386,24 +384,13 @@ def knn_candidates_pallas(p: jnp.ndarray, q: jnp.ndarray, subtile: int = 64,
             jax.lax.stop_gradient(jnp.clip(args.T[:N], 0, M - 1)))
 
 
-def _knn_kernel_batched(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
-    """Batched _knn_kernel: leading batch grid axis, same tile math per sample."""
-    j = pl.program_id(2)
-    pt = pt_ref[0]                     # [8, TP]
-    qt = qt_ref[0]                     # [8, TQ]
-    qp = jax.lax.dot_general(qt, pt, (((0,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)   # [TQ, TP]
-    pp = jnp.sum(pt * pt, axis=0)
-    qq = jnp.sum(qt * qt, axis=0)
-    d = qq[:, None] + pp[None, :] - 2.0 * qp                       # [TQ, TP]
-    tq, tp = d.shape
-    g = tq // subtile
-    dg = d.reshape(g, subtile, tp)
-    vals_ref[0] = jnp.min(dg, axis=1)                              # [G, TP]
-    sub = jnp.argmin(dg, axis=1).astype(jnp.int32)                 # [G, TP]
-    base = j * tq + jax.lax.broadcasted_iota(jnp.int32, (g, tp), 0) * subtile
-    args_ref[0] = sub + base
+def _knn_kernel_b(pt_ref, qt_ref, vals_ref, args_ref, *, subtile: int):
+    """Rank-2 batched _knn_kernel: grid (B, I, J), batch resolved by the
+    BlockSpec index maps (see _chamfer_bidir_pallas_batched's layout note —
+    the rank-3 leading-unit-dim blocks this replaced cost per-cell relayouts),
+    body identical to _knn_kernel up to the j grid position."""
+    _knn_kernel_j(pt_ref, qt_ref, vals_ref, args_ref, pl.program_id(2),
+                  subtile=subtile)
 
 
 def knn_candidates_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
@@ -428,31 +415,36 @@ def knn_candidates_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
     I = n_pad // tile
     J = m_pad // tile
     assert tile % subtile == 0, (tile, subtile)
+    # the candidate block is (G, tile): Mosaic needs the sublane dim
+    # divisible by 8, so cap the subtile at tile // 8
+    subtile = min(subtile, tile // 8)
     G = tile // subtile
     pt = jax.vmap(_pad_points_t, in_axes=(0, None))(p, n_pad)      # [B, 8, n_pad]
     qt = jax.vmap(_pad_points_t, in_axes=(0, None))(q, m_pad)
+    pt2 = pt.reshape(B * 8, n_pad)
+    qt2 = qt.reshape(B * 8, m_pad)
 
     vals, args = pl.pallas_call(
-        _partial(_knn_kernel_batched, subtile=subtile),
+        _partial(_knn_kernel_b, subtile=subtile),
         grid=(B, I, J),
         in_specs=[
-            pl.BlockSpec((1, 8, tile), lambda b, i, j: (b, 0, i),
+            pl.BlockSpec((8, tile), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, tile), lambda b, i, j: (b, 0, j),
+            pl.BlockSpec((8, tile), lambda b, i, j: (b, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, G, tile), lambda b, i, j: (b, j, i),
+            pl.BlockSpec((G, tile), lambda b, i, j: (b * J + j, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G, tile), lambda b, i, j: (b, j, i),
+            pl.BlockSpec((G, tile), lambda b, i, j: (b * J + j, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, J * G, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((B, J * G, n_pad), jnp.int32),
+            jax.ShapeDtypeStruct((B * J * G, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B * J * G, n_pad), jnp.int32),
         ],
-    )(pt, qt)
-    vals = jnp.swapaxes(vals, 1, 2)[:, :N]                         # [B, N, C]
-    args = jnp.swapaxes(args, 1, 2)[:, :N]
+    )(pt2, qt2)
+    vals = jnp.swapaxes(vals.reshape(B, J * G, n_pad), 1, 2)[:, :N]  # [B, N, C]
+    args = jnp.swapaxes(args.reshape(B, J * G, n_pad), 1, 2)[:, :N]
     return (jax.lax.stop_gradient(vals),
             jax.lax.stop_gradient(jnp.clip(args, 0, M - 1)))

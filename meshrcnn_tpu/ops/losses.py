@@ -81,17 +81,43 @@ def mesh_loss(key: jax.Array,
     pipeline (kNN candidate kernel + merges + eigensolver, both clouds x 3
     stages) profiles at ~70 ms of a ~350 ms step. Eval paths keep computing it —
     there it is a real metric.
+
+    Normal estimator (``MESHRCNN_FACE_NORMALS``, default on): both clouds are
+    sampled *from triangles*, whose exact unit normals the sampler returns for
+    free (sampling.batched_sample_points) — so the default uses those directly
+    instead of re-estimating normals from the sampled cloud by kNN + PCA, the
+    reference's construction (loss_functions.py:129-170, a Mesh R-CNN-paper
+    choice inherited from point-cloud pipelines that lack the mesh). This is a
+    documented deviation: the face normal IS the surface normal at the sampled
+    point (the PCA estimate converges to it as k neighbours localize), it is
+    exact rather than 0.97-recall approximate, its backward is a cross-product
+    VJP instead of eigensolver + neighbour-gather transposes, and it removes
+    the entire self-kNN pipeline (~36% of the Pix3D step — PERFORMANCE.md
+    round 3). ``MESHRCNN_FACE_NORMALS=0`` restores the reference's kNN + PCA
+    estimator bit-for-bit (parity harnesses pin it).
     """
+    import os
     e_loss = edge_loss(pred_verts, pred_mesh.edges, pred_mesh.edges_mask)
+    face_normals = (compute_normal
+                    and os.environ.get("MESHRCNN_FACE_NORMALS", "1") == "1")
 
     k_pred, k_gt = jax.random.split(key)
-    cloud_p, valid_p = batched_sample_points(
-        k_pred, pred_verts, pred_mesh.faces, pred_mesh.faces_mask, point_cloud_size)
-    cloud_g, valid_g = batched_sample_points(
-        k_gt, gt_verts, gt_faces, gt_faces_mask, point_cloud_size)
+    norm_p = norm_g = None
+    if face_normals:
+        cloud_p, valid_p, norm_p = batched_sample_points(
+            k_pred, pred_verts, pred_mesh.faces, pred_mesh.faces_mask,
+            point_cloud_size, return_normals=True)
+        cloud_g, valid_g, norm_g = batched_sample_points(
+            k_gt, gt_verts, gt_faces, gt_faces_mask, point_cloud_size,
+            return_normals=True)
+    else:
+        cloud_p, valid_p = batched_sample_points(
+            k_pred, pred_verts, pred_mesh.faces, pred_mesh.faces_mask,
+            point_cloud_size)
+        cloud_g, valid_g = batched_sample_points(
+            k_gt, gt_verts, gt_faces, gt_faces_mask, point_cloud_size)
     valid = (valid_p & valid_g).astype(jnp.float32)      # [B]
 
-    import os
     use_fused = (jax.default_backend() == "tpu"
                  and os.environ.get("MESHRCNN_FUSED_CHAMFER", "1") == "1")
     if use_fused:
@@ -117,7 +143,9 @@ def mesh_loss(key: jax.Array,
     chamfer = jnp.sum((cham_p + cham_g) * valid) / point_cloud_size
     if compute_normal:
         align_p, align_g = batched_normal_distance(cloud_p, cloud_g, idx_p, idx_g,
-                                                   k=num_neighbours, tile=tile)
+                                                   k=num_neighbours, tile=tile,
+                                                   normals_p=norm_p,
+                                                   normals_q=norm_g)
         normal = -jnp.sum((align_p + align_g) * valid) / point_cloud_size
     else:
         normal = jnp.zeros((), dtype=jnp.float32)

@@ -57,13 +57,21 @@ def sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
 
 def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray,
                           faces_mask: jnp.ndarray, num_points: int,
-                          normalize: bool = True) -> tuple[jnp.ndarray, jnp.ndarray]:
+                          normalize: bool = True, return_normals: bool = False):
     """Batched sampling: verts [B,V,3], faces [B,F,3], faces_mask [B,F].
 
     Replaces the reference's per-sample Python loop ``batched_mesh_sampling``
     (loss_functions.py:80-89). Implemented batched with flattened global-index
     gathers rather than vmap — batched-dimension gathers hit an XLA-TPU slow
     path (see ops/gather.py). Returns ([B, N, 3], [B] valid).
+
+    ``return_normals=True`` additionally returns the unit face normal of the
+    triangle each point was drawn from ([B, N, 3]) — the exact surface normal
+    at the sampled point, computed from the already-gathered corner vertices
+    (two subtractions + a cross product; ~free). Normals are invariant to the
+    per-sample cloud normalization (centering + isotropic scale). Degenerate
+    (zero-area) faces fall back to +z; area-weighted selection never picks
+    them on valid meshes, so the fallback is a numerical guard only.
     """
     from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
 
@@ -97,4 +105,16 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     if normalize:
         pts = jax.vmap(normalize_verts)(pts)
     pts = jnp.where(valid[:, None, None], pts, 0.0)
-    return pts, valid
+    if not return_normals:
+        return pts, valid
+    n = jnp.cross(chosen[:, :, 1] - chosen[:, :, 0],
+                  chosen[:, :, 2] - chosen[:, :, 0])          # [B, N, 3]
+    norm2 = jnp.sum(n * n, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], n.dtype), n.shape)
+    # substitute BEFORE rsqrt: where() does not stop NaN gradients from the
+    # untaken branch (same hardening as chamfer.smallest_eigenvector)
+    n = jnp.where(norm2 > 1e-20, n, fallback)
+    normals = n / jnp.sqrt(jnp.maximum(
+        jnp.sum(n * n, axis=-1, keepdims=True), 1e-20))
+    normals = jnp.where(valid[:, None, None], normals, 0.0)
+    return pts, valid, normals

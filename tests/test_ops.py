@@ -344,3 +344,138 @@ def test_aggregate_chunking_non_divisible_batch():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     os.environ.pop("MESHRCNN_FORCE_AGG_CHUNK", None)
+
+
+# ---------------------------------------------------------------- face normals
+
+def _plane_mesh(nx=8, ny=8, z=0.0, jitter=None, seed=0):
+    """Grid-triangulated plane at height z: verts [nx*ny, 3], faces [2(nx-1)(ny-1), 3]."""
+    xs, ys = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
+    verts = np.stack([xs, ys, np.full_like(xs, z)], -1).reshape(-1, 3)
+    if jitter is not None:
+        rng = np.random.RandomState(seed)
+        verts[:, :2] += rng.randn(*verts[:, :2].shape) * jitter
+    faces = []
+    for i in range(nx - 1):
+        for j in range(ny - 1):
+            a, b, c, d = (i * ny + j, i * ny + j + 1,
+                          (i + 1) * ny + j, (i + 1) * ny + j + 1)
+            faces += [[a, b, c], [b, d, c]]
+    return verts.astype(np.float32), np.asarray(faces, np.int32)
+
+
+def test_sampling_face_normals_exact():
+    """return_normals gives the sampled triangle's unit normal: on a one-face
+    mesh every sample's normal equals that triangle's cross-product normal."""
+    key = jax.random.PRNGKey(4)
+    mask = jnp.asarray([False, True, False, False])          # only face 1 (verts 3,4,5)
+    pts, valid, normals = batched_sample_points(
+        key, jnp.asarray(FIXTURE_POS)[None], jnp.asarray(FIXTURE_FACES)[None],
+        mask[None], 200, normalize=False, return_normals=True)
+    assert bool(valid[0])
+    tri = FIXTURE_POS[[3, 4, 5]]
+    n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
+    n = n / np.linalg.norm(n)
+    got = np.asarray(normals[0])
+    assert np.allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+    assert np.allclose(got, n[None], atol=1e-5)
+
+
+def test_sampling_face_normals_empty_mesh_and_degenerate():
+    key = jax.random.PRNGKey(5)
+    # empty mesh -> zero normals, no NaNs
+    mask0 = jnp.zeros((1, 4), dtype=bool)
+    _, valid, normals = batched_sample_points(
+        key, jnp.asarray(FIXTURE_POS)[None], jnp.asarray(FIXTURE_FACES)[None],
+        mask0, 50, return_normals=True)
+    assert not bool(valid[0])
+    assert (np.asarray(normals) == 0).all()
+    # degenerate (zero-area) triangle forced by a collapsed mesh: the +z
+    # fallback keeps values and gradients finite
+    verts = jnp.zeros((1, 11, 3), dtype=jnp.float32)
+    mask1 = jnp.ones((1, 4), dtype=bool)
+
+    def f(v):
+        _, _, nn = batched_sample_points(key, v, jnp.asarray(FIXTURE_FACES)[None],
+                                         mask1, 50, return_normals=True)
+        return jnp.sum(nn ** 2)
+
+    g = jax.grad(f)(verts)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_mesh_loss_face_normals_matches_pca_on_plane():
+    """On a plane every estimator must agree: the face-normal path (default)
+    and the kNN+PCA path (MESHRCNN_FACE_NORMALS=0) give the same chamfer/edge
+    losses (identical clouds — same keys) and near-identical normal loss."""
+    from meshrcnn_tpu.core.mesh import MeshBatch
+    from meshrcnn_tpu.ops.losses import mesh_loss
+
+    pv, pf = _plane_mesh(8, 8, z=0.0, jitter=0.02, seed=1)
+    gv, gf = _plane_mesh(7, 9, z=0.0, jitter=0.02, seed=2)
+    V = max(len(pv), len(gv)) + 3
+    F = max(len(pf), len(gf)) + 5
+
+    def pad(v, f):
+        vp = np.zeros((V, 3), np.float32); vp[:len(v)] = v
+        fp = np.zeros((F, 3), np.int32);  fp[:len(f)] = f
+        fm = np.zeros((F,), bool);        fm[:len(f)] = True
+        return vp, fp, fm
+
+    pvp, pfp, pfm = pad(pv, pf)
+    gvp, gfp, gfm = pad(gv, gf)
+    # edges from faces (content irrelevant to the normal term)
+    edges = np.stack([pfp[:, 0], pfp[:, 1]], -1).astype(np.int32)
+    mesh = MeshBatch(verts=jnp.asarray(pvp)[None],
+                     verts_mask=jnp.ones((1, V), bool),
+                     faces=jnp.asarray(pfp)[None],
+                     faces_mask=jnp.asarray(pfm)[None],
+                     edges=jnp.asarray(edges)[None],
+                     edges_mask=jnp.asarray(pfm)[None])
+
+    key = jax.random.PRNGKey(7)
+    args = (key, jnp.asarray(pvp)[None], mesh, jnp.asarray(gvp)[None],
+            jnp.asarray(gfp)[None], jnp.asarray(gfm)[None])
+    os.environ["MESHRCNN_FACE_NORMALS"] = "1"
+    c1, n1, e1 = mesh_loss(*args, point_cloud_size=512, num_neighbours=8, tile=256)
+    os.environ["MESHRCNN_FACE_NORMALS"] = "0"
+    c0, n0, e0 = mesh_loss(*args, point_cloud_size=512, num_neighbours=8, tile=256)
+    os.environ.pop("MESHRCNN_FACE_NORMALS", None)
+
+    assert np.allclose(float(c1), float(c0), rtol=1e-6)
+    assert np.allclose(float(e1), float(e0), rtol=1e-6)
+    # plane: both estimators say +-z for every point -> |cos| = 1 everywhere
+    # up to PCA edge effects; the values must agree tightly
+    assert np.allclose(float(n1), float(n0), rtol=5e-3, atol=5e-3)
+    assert float(n1) < -0.95  # ~ -1.0 x 2 sides / 2... (two summed |cos| terms / N)
+
+
+def test_mesh_loss_face_normals_grads():
+    """Gradients of the face-normal loss w.r.t. pred verts are finite and
+    nonzero (the cross-product VJP path)."""
+    from meshrcnn_tpu.core.mesh import MeshBatch
+    from meshrcnn_tpu.ops.losses import mesh_loss
+
+    pv, pf = _plane_mesh(6, 6, z=0.0, jitter=0.05, seed=3)
+    gv, gf = _plane_mesh(6, 6, z=0.0, jitter=0.05, seed=4)
+    V, F = len(pv), len(pf)
+    edges = np.stack([pf[:, 0], pf[:, 1]], -1).astype(np.int32)
+    mesh = MeshBatch(verts=jnp.asarray(pv)[None],
+                     verts_mask=jnp.ones((1, V), bool),
+                     faces=jnp.asarray(pf)[None],
+                     faces_mask=jnp.ones((1, F), bool),
+                     edges=jnp.asarray(edges)[None],
+                     edges_mask=jnp.ones((1, F), bool))
+    key = jax.random.PRNGKey(9)
+    os.environ["MESHRCNN_FACE_NORMALS"] = "1"
+
+    def f(v):
+        _, n, _ = mesh_loss(key, v, mesh, jnp.asarray(gv)[None],
+                            jnp.asarray(gf)[None], jnp.ones((1, F), bool),
+                            point_cloud_size=256, num_neighbours=6, tile=128)
+        return n
+
+    g = np.asarray(jax.grad(f)(jnp.asarray(pv)[None]))
+    os.environ.pop("MESHRCNN_FACE_NORMALS", None)
+    assert np.isfinite(g).all()
+    assert np.abs(g).sum() > 0

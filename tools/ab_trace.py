@@ -37,7 +37,7 @@ VARIANTS = [
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
             "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
-            "MESHRCNN_MATMUL_ROIALIGN": "1"}
+            "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -46,6 +46,7 @@ PIX3D_VARIANTS = [
     ("p3_laxmap_knn", {"MESHRCNN_BATCHED_KNN": "0"}, {}),
     ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
     ("p3_gather_roialign", {"MESHRCNN_MATMUL_ROIALIGN": "0"}, {}),
+    ("p3_pca_normals", {"MESHRCNN_FACE_NORMALS": "0"}, {}),
 ]
 
 

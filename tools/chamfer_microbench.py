@@ -27,21 +27,38 @@ def main():
     import numpy as np
 
     from meshrcnn_tpu.ops.chamfer import chamfer_distance
-    from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused
+    from meshrcnn_tpu.ops.chamfer_pallas import (chamfer_sums_fused,
+                                                 chamfer_sums_fused_batched,
+                                                 knn_candidates_pallas,
+                                                 knn_candidates_pallas_batched)
 
     N = M = 10000
+    B = int(os.environ.get("MESHRCNN_MB_BATCH", "4"))
     r = np.random.RandomState(0)
     p = jnp.asarray(r.randn(N, 3).astype(np.float32))
     q = jnp.asarray(r.randn(M, 3).astype(np.float32))
+    pb = jnp.asarray(r.randn(B, N, 3).astype(np.float32))
+    qb = jnp.asarray(r.randn(B, M, 3).astype(np.float32))
 
-    out = {}
-    for name, fn in (("pallas_fused", jax.jit(lambda p, q: chamfer_sums_fused(p, q)[0])),
-                     ("xla_two_sweeps", jax.jit(lambda p, q: chamfer_distance(p, q)[0]))):
-        fn(p, q).block_until_ready()          # compile
+    out = {"batch": B}
+    cases = (
+        ("pallas_fused", jax.jit(lambda: chamfer_sums_fused(p, q)[0])),
+        ("xla_two_sweeps", jax.jit(lambda: chamfer_distance(p, q)[0])),
+        ("pallas_fused_batched",
+         jax.jit(lambda: chamfer_sums_fused_batched(pb, qb)[0])),
+        ("pallas_fused_laxmap",
+         jax.jit(lambda: jax.lax.map(
+             lambda pq: chamfer_sums_fused(pq[0], pq[1])[0], (pb, qb)))),
+        ("knn_cand", jax.jit(lambda: knn_candidates_pallas(p, q, 64)[0])),
+        ("knn_cand_batched",
+         jax.jit(lambda: knn_candidates_pallas_batched(pb, qb, 64)[0])),
+    )
+    for name, fn in cases:
+        fn().block_until_ready()          # compile
         iters = 50
         t0 = time.perf_counter()
         for _ in range(iters):
-            v = fn(p, q)
+            v = fn()
         v.block_until_ready()
         ms = 1000.0 * (time.perf_counter() - t0) / iters
         out[name + "_ms"] = round(ms, 3)

@@ -8,6 +8,10 @@
 #
 # Usage: bash tools/run_parity_experiment.sh <data_root> <out_root>
 set -euo pipefail
+# pin the reference normal estimator (kNN+PCA) so parity-run loss
+# magnitudes stay comparable with the reference recipe; the framework
+# default is exact face normals (ops/losses.py:mesh_loss)
+export MESHRCNN_FACE_NORMALS=0
 DATA=${1:-/root/data_mini}
 OUT=${2:-/root/parity}
 mkdir -p "$OUT"

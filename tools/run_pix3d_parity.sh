@@ -11,6 +11,10 @@
 #
 # Usage: bash tools/run_pix3d_parity.sh <out_root> [n_samples] [n_epochs]
 set -euo pipefail
+# pin the reference normal estimator (kNN+PCA) so parity-run loss
+# magnitudes stay comparable with the reference recipe; the framework
+# default is exact face normals (ops/losses.py:mesh_loss)
+export MESHRCNN_FACE_NORMALS=0
 OUT=${1:-/root/pix3d_parity}
 N=${2:-400}
 EPOCHS=${3:-30}
