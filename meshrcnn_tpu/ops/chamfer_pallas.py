@@ -45,7 +45,7 @@ def _pad_points_t(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
 
 
 def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, i, j):
+                 argq_part_ref, i, j, *, dual: bool = False):
     pt = pt_ref[:]                     # [8, TP]
     qt = qt_ref[:]                     # [8, TQ]
     pq = jax.lax.dot_general(pt, qt, (((0,), (0,)), ((), ())),
@@ -60,8 +60,23 @@ def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
     # when it equals the full array dim, which the batched [B*8, n_pad]
     # layout can't satisfy); row 0 is real, rows 1..7 are written once at
     # j == 0 and sliced off outside.
-    tile_min = jnp.min(d, axis=1)
-    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * d.shape[1]
+    if dual:
+        # dual-gram orientation: compute the SAME distances transposed
+        # ([TQ, TP]) with a second MXU gram so this direction's min/argmin
+        # reduces along the SUBLANE axis like the q-direction's — the
+        # lane-axis reduce is the kernel's VPU bottleneck while the MXU sits
+        # ~idle (K=8 gram). Values agree to MXU rounding (the transposed
+        # gram's f32 passes round differently in the last ulp — measured
+        # 2/1500 near-tie argmin flips; tests pin allclose + 99.9% argmin).
+        qp = jax.lax.dot_general(qt, pt, (((0,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)  # [TQ, TP]
+        dT = qq[:, None] + pp[None, :] - 2.0 * qp
+        tile_min = jnp.min(dT, axis=0)
+        tile_arg = jnp.argmin(dT, axis=0).astype(jnp.int32) + j * d.shape[1]
+    else:
+        tile_min = jnp.min(d, axis=1)
+        tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32) + j * d.shape[1]
 
     @pl.when(j == 0)
     def _():
@@ -87,20 +102,30 @@ def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
         [arg0[None, :], jnp.zeros((7, d.shape[1]), jnp.int32)], axis=0)
 
 
-def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
+def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref,
+            *, dual: bool = False):
     _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, pl.program_id(0), pl.program_id(1))
+                 argq_part_ref, pl.program_id(0), pl.program_id(1), dual=dual)
 
 
-def _kernel_b(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref):
+def _kernel_b(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref,
+              *, dual: bool = False):
     """Rank-2 batched wrapper: grid (B, I, J); the batch is resolved entirely
     by the BlockSpec index maps, so the body only needs (i, j)."""
     _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, pl.program_id(1), pl.program_id(2))
+                 argq_part_ref, pl.program_id(1), pl.program_id(2), dual=dual)
 
 
-@partial(jax.jit, static_argnames=())
-def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray):
+def _use_dual_gram() -> bool:
+    """Trace-time gate for the dual-gram kernel body (same-session A/B via
+    MESHRCNN_CHAMFER_DUALGRAM; the flag is a static jit arg so toggling between
+    jit instances in one process selects the path)."""
+    import os
+    return os.environ.get("MESHRCNN_CHAMFER_DUALGRAM", "1") == "1"
+
+
+@partial(jax.jit, static_argnames=("dual",))
+def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray, dual: bool = False):
     N = p.shape[0]
     M = q.shape[0]
     n_pad = -(-N // TILE) * TILE
@@ -112,7 +137,7 @@ def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray):
 
     grid = (I, J)
     minp, argp, minq_part, argq_part = pl.pallas_call(
-        _kernel,
+        partial(_kernel, dual=dual),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -169,12 +194,12 @@ def _segment_sum_by_key(values: jnp.ndarray, keys: jnp.ndarray,
 @jax.custom_vjp
 def chamfer_sums_fused(p: jnp.ndarray, q: jnp.ndarray):
     """(sum_i min_j d, idx_p, sum_j min_i d, idx_q) via the fused Pallas kernel."""
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q)
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q, dual=_use_dual_gram())
     return jnp.sum(d_p), i_p, jnp.sum(d_q), i_q
 
 
 def _fwd(p, q):
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q)
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q, dual=_use_dual_gram())
     return (jnp.sum(d_p), i_p, jnp.sum(d_q), i_q), (p, q, i_p, i_q)
 
 
@@ -200,7 +225,8 @@ chamfer_sums_fused.defvjp(_fwd, _bwd)
 # batched variant: grid over (batch, p tiles, q tiles)
 # ---------------------------------------------------------------------------
 
-def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray):
+def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
+                                  dual: bool = False):
     """Batched fused bidirectional NN: p [B,N,3], q [B,M,3] -> per-sample
     (d_p [B,N], i_p [B,N], d_q [B,M], i_q [B,M]).
 
@@ -225,7 +251,7 @@ def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray):
     qt2 = qt.reshape(B * 8, m_pad)
 
     minp, argp, minq_part, argq_part = pl.pallas_call(
-        _kernel_b,
+        partial(_kernel_b, dual=dual),
         grid=(B, I, J),
         in_specs=[
             pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
@@ -269,12 +295,12 @@ def chamfer_sums_fused_batched(p: jnp.ndarray, q: jnp.ndarray):
     Batched analog of chamfer_sums_fused — one kernel launch for the whole
     batch; the backward is the same closed form vmapped over the batch.
     """
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q)
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q, _use_dual_gram())
     return jnp.sum(d_p, axis=1), i_p, jnp.sum(d_q, axis=1), i_q
 
 
 def _fwd_batched(p, q):
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q)
+    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q, _use_dual_gram())
     return (jnp.sum(d_p, axis=1), i_p, jnp.sum(d_q, axis=1), i_q), (p, q, i_p, i_q)
 
 

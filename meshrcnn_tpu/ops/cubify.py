@@ -47,7 +47,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from meshrcnn_tpu.core.mesh import MeshBatch
-from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
+from meshrcnn_tpu.ops.gather import (batched_gather_rows, batched_searchsorted,
+                                     compact_from_cumsum, use_counting_search)
 
 # Per-direction corner lattice offsets (oz, oy, ox), transcribed from the reference
 # deltas table (meshRCNN/layers.py:370-400) with -0.5 -> 0 and +0.5 -> 1.
@@ -95,10 +96,13 @@ def _cubify_raw(grid: jnp.ndarray, threshold: float):
     occ = grid > threshold
     exposed = [occ & ~_neighbor_occ(occ, *_NEIGHBOR[d]) for d in range(6)]
 
+    # corner-used mask via padded shifts (a slice-assign .at[].max lowers to
+    # scatter-max — profiled 2 ms/step; jnp.pad is pure data movement)
     used = jnp.zeros((Z + 1, Y + 1, X + 1), dtype=bool)
     for d in range(6):
         for (oz, oy, ox) in _CORNERS[d]:
-            used = used.at[oz:oz + Z, oy:oy + Y, ox:ox + X].max(exposed[d])
+            used = used | jnp.pad(exposed[d],
+                                  ((oz, 1 - oz), (oy, 1 - oy), (ox, 1 - ox)))
 
     flat_used = used.reshape(-1)
     cum_used = jnp.cumsum(flat_used.astype(jnp.int32))      # inclusive counts
@@ -128,7 +132,14 @@ def _compact(cum: jnp.ndarray, capacity: int):
 
     cum: [B, N] inclusive cumsum of the keep flags. Returns (src [B, cap] int32,
     mask [B, cap] bool, count [B] int32).
+
+    On TPU this is the hierarchical counting compaction (one gather total);
+    the bisection path profiled 28.7 ms/step across cubify's three call sites
+    (~20 rounds of random-index gathers each, PERFORMANCE.md round 3). CPU
+    keeps the bisection; ``tests/test_ops.py`` pins equality of the two.
     """
+    if use_counting_search():
+        return compact_from_cumsum(cum, capacity)
     B, N = cum.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
     q = jnp.broadcast_to(iota[None, :] + 1, (B, capacity))

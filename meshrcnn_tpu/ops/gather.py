@@ -9,6 +9,7 @@ these helpers instead of vmapped fancy indexing.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,98 @@ def take_along_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     N, C = x.shape
     base = (jnp.arange(N, dtype=jnp.int32) * C)[:, None]
     return x.reshape(-1)[(idx.astype(jnp.int32) + base).reshape(-1)].reshape(idx.shape)
+
+
+def use_counting_search() -> bool:
+    """Trace-time switch for the gather-free counting searchsorted/compaction.
+
+    Default: on for the TPU backend (where XLA's random-index gathers stream at
+    ~0.5 GB/s and dominate cubify/sampling, PERFORMANCE.md round 3), off on
+    CPU (whose gathers are cheap and whose VPU-style fused reduces are not).
+    MESHRCNN_COUNTING_SEARCH=0/1 forces either path on any backend (tests pin
+    equality on CPU via =1).
+    """
+    import os
+    env = os.environ.get("MESHRCNN_COUNTING_SEARCH")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def counting_searchsorted(keys: jnp.ndarray, queries: jnp.ndarray,
+                          side: str = "left") -> jnp.ndarray:
+    """Gather-free searchsorted: count keys below each query.
+
+    keys [B, K] ascending per row, queries [B, Q] -> insertion indices [B, Q],
+    identical to ``batched_searchsorted`` (for sorted rows the insertion index
+    IS the count of keys < q, resp. <= q for side='right').
+
+    Rationale: XLA:TPU lowers random-index gathers to ~30 ns/element, so the
+    bisection path costs ceil(log2 K) rounds x Q gathered elements — ~4 ms for
+    the sampler's K=16384, Q=10k. The counting form is one fused
+    broadcast-compare-reduce on the VPU: O(K*Q) cells but ~0.5 ns/cell and no
+    gathers at all. Profitable whenever K*Q is below a few G cells; the binary
+    search stays the fallback for huge K (see ``compact_from_cumsum`` for the
+    contiguous-query case where hierarchy removes the K*Q blowup).
+    """
+    if side == "left":
+        cmp = keys[:, None, :] < queries[:, :, None]
+    else:
+        cmp = keys[:, None, :] <= queries[:, :, None]
+    return jnp.sum(cmp, axis=-1, dtype=jnp.int32)
+
+
+def compact_from_cumsum(cum: jnp.ndarray, capacity: int, block: int = 128):
+    """Stream-compaction slot->source mapping, gather-free except ONE row gather.
+
+    cum: [B, N] inclusive cumsum of keep flags (int). Returns
+    (src [B, capacity] int32, mask [B, capacity] bool, count [B] int32) with
+    src[b, s] = index of the (s+1)-th kept entry — exactly
+    ``batched_searchsorted(cum, s+1, side='left')`` but without the bisection's
+    ~log2(N) rounds of random-index gathers (profiled 28.7 ms/step across
+    cubify's three compactions at N up to 1.3M; this form measures ~2 ms).
+
+    Structure: split N into blocks of ``block``. The block containing slot s
+    and the kept-count before it come from counting compares against the
+    per-block cumsum tails ([B, cap, N/block] cells); the position of the
+    (o+1)-th kept entry *within* each block is comp[b, o] = #{k : within_cum_k
+    <= o} ([B, N, block] cells). Both are fused VPU compare-reduces. One final
+    [B, capacity] gather reads comp at (block_of_slot, offset_in_block).
+    """
+    B, N = cum.shape
+    pad = (-N) % block
+    if pad:
+        cum_p = jnp.concatenate(
+            [cum, jnp.broadcast_to(cum[:, -1:], (B, pad))], axis=1)
+    else:
+        cum_p = cum
+    Np = N + pad
+    nb = Np // block
+    c = cum_p.reshape(B, nb, block)
+    prev = jnp.concatenate(
+        [jnp.zeros((B, 1), cum.dtype), c[:, :-1, -1]], axis=1)     # [B, nb]
+    within = c - prev[:, :, None]            # inclusive within-block cumsum
+    blockcum = c[:, :, -1]                   # [B, nb] inclusive block tails
+    block_tot = within[:, :, -1]             # [B, nb] kept per block
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
+    # level 1: containing block + kept-count before it (counting compares)
+    le = blockcum[:, None, :] <= s[None, :, None]                  # [B, cap, nb]
+    b_of = jnp.sum(le, axis=-1, dtype=jnp.int32)
+    lo = jnp.sum(jnp.where(le, block_tot[:, None, :], 0), axis=-1,
+                 dtype=jnp.int32)
+    o = jnp.clip(s[None, :] - lo, 0, block - 1)
+    b_of = jnp.clip(b_of, 0, nb - 1)
+    # level 2: comp[b, o] = position of the (o+1)-th kept element in block b
+    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, block), 3)
+    comp = jnp.sum(within[:, :, :, None] <= o_iota, axis=2,
+                   dtype=jnp.int32)                                # [B, nb, block]
+    flat = b_of * block + o
+    pos = batched_gather_rows(comp.reshape(B, Np)[..., None], flat)[..., 0]
+    src = jnp.minimum(b_of * block + pos, N - 1)
+    count = cum[:, -1].astype(jnp.int32)
+    mask = s[None, :] < jnp.minimum(count, capacity)[:, None]
+    return src, mask, count
 
 
 def batched_searchsorted(keys: jnp.ndarray, queries: jnp.ndarray,

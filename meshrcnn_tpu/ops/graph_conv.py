@@ -29,7 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
+from meshrcnn_tpu.ops.gather import (batched_gather_rows, batched_searchsorted,
+                                     use_counting_search)
 
 
 @struct.dataclass
@@ -60,9 +61,19 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
         # padded slots must not contribute: redirect their source to the sentinel
         # segment... they already are (key = V sorts last); sources stay as-is.
         src_sorted = batched_gather_rows(src[..., None], order)[..., 0]
-        v_q = jnp.broadcast_to(v_ids[None, :], (keys.shape[0], V))
-        starts = batched_searchsorted(keys, v_q, side="left")
-        ends = batched_searchsorted(keys, v_q, side="right")
+        if use_counting_search():
+            # integer keys + contiguous queries 0..V-1: both boundaries come
+            # from ONE histogram (ends = cumulative counts, starts = ends -
+            # hist) — a single fused compare-reduce instead of 2 bisections
+            # x ~log2(E) rounds of random-index gathers (ops/gather.py).
+            hist = jnp.sum(keys[:, None, :] == v_ids[None, :, None], axis=-1,
+                           dtype=jnp.int32)                        # [B, V]
+            ends = jnp.cumsum(hist, axis=1)
+            starts = ends - hist
+        else:
+            v_q = jnp.broadcast_to(v_ids[None, :], (keys.shape[0], V))
+            starts = batched_searchsorted(keys, v_q, side="left")
+            ends = batched_searchsorted(keys, v_q, side="right")
         return src_sorted, starts, ends
 
     src_lo, starts_lo, ends_lo = direction(lo_k, hi)   # contributions to lo from hi

@@ -73,7 +73,10 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     (zero-area) faces fall back to +z; area-weighted selection never picks
     them on valid meshes, so the fallback is a numerical guard only.
     """
-    from meshrcnn_tpu.ops.gather import batched_gather_rows, batched_searchsorted
+    from meshrcnn_tpu.ops.gather import (batched_gather_rows,
+                                         batched_searchsorted,
+                                         counting_searchsorted,
+                                         use_counting_search)
 
     B, V, _ = verts.shape
     F = faces.shape[1]
@@ -89,7 +92,12 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     probs = areas / jnp.where(valid, total, 1.0)[:, None]
     cdf = jnp.cumsum(probs, axis=1)
     u = jax.random.uniform(k_face, (B, num_points))
-    face_idx = batched_searchsorted(cdf, u, side="left")
+    # TPU: gather-free counting searchsorted (one fused compare-reduce;
+    # the bisection's ~14 gather rounds profiled ~4 ms/call at F=16k, N=10k)
+    if use_counting_search():
+        face_idx = counting_searchsorted(cdf, u, side="left")
+    else:
+        face_idx = batched_searchsorted(cdf, u, side="left")
     face_idx = jnp.clip(face_idx, 0, F - 1)
 
     chosen = batched_gather_rows(tri.reshape(B, F, 9), face_idx).reshape(

@@ -119,3 +119,42 @@ def test_batched_knn_matches_per_sample():
         ib, is_ = np.asarray(i_b[b]), np.asarray(i_s)
         same = np.mean([set(ib[r]) == set(is_[r]) for r in range(N)])
         assert same > 0.99, same
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernel requires TPU hardware")
+def test_dual_gram_matches_single_gram():
+    """The dual-gram kernel body (both reductions on the sublane axis,
+    MESHRCNN_CHAMFER_DUALGRAM=1 default) must match the single-gram body to
+    MXU rounding: the transposed gram's 3-pass f32 accumulation rounds
+    differently in the last ulp (measured 2/1500 mins differ), so mins are
+    pinned allclose and argmins to >=99.9% agreement (near-tie flips only),
+    same bar as test_fused_chamfer_matches_xla."""
+    from meshrcnn_tpu.ops.chamfer_pallas import (_chamfer_bidir_pallas,
+                                                 _chamfer_bidir_pallas_batched)
+
+    rng = np.random.RandomState(4)
+    p = jnp.asarray(rng.randn(1500, 3).astype(np.float32))
+    q = jnp.asarray(rng.randn(3, 700, 3).astype(np.float32))
+
+    def check(a, b):
+        d_pa, i_pa, d_qa, i_qa = a
+        d_pb, i_pb, d_qb, i_qb = b
+        np.testing.assert_allclose(np.asarray(d_pa), np.asarray(d_pb),
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(d_qa), np.asarray(d_qb),
+                                   rtol=1e-4, atol=1e-6)
+        assert (np.asarray(i_pa) == np.asarray(i_pb)).mean() > 0.999
+        assert (np.asarray(i_qa) == np.asarray(i_qb)).mean() > 0.999
+
+    q1 = jnp.asarray(rng.randn(1200, 3).astype(np.float32))
+    check(_chamfer_bidir_pallas(p, q1, dual=False),
+          _chamfer_bidir_pallas(p, q1, dual=True))
+
+    pb = jnp.asarray(rng.randn(3, 1024, 3).astype(np.float32))
+    ab = jax.jit(lambda u, v: _chamfer_bidir_pallas_batched(u, v, False))(pb, q)
+    bb = jax.jit(lambda u, v: _chamfer_bidir_pallas_batched(u, v, True))(pb, q)
+    for xa, xb, ia, ib in [(ab[0], bb[0], ab[1], bb[1]),
+                           (ab[2], bb[2], ab[3], bb[3])]:
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                                   rtol=1e-4, atol=1e-6)
+        assert (np.asarray(ia) == np.asarray(ib)).mean() > 0.999

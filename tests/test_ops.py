@@ -479,3 +479,100 @@ def test_mesh_loss_face_normals_grads():
     os.environ.pop("MESHRCNN_FACE_NORMALS", None)
     assert np.isfinite(g).all()
     assert np.abs(g).sum() > 0
+
+
+def test_counting_searchsorted_matches_bisection():
+    """The gather-free counting searchsorted (TPU default, ops/gather.py) must
+    equal the bisection on duplicate-heavy keys and out-of-range queries."""
+    from meshrcnn_tpu.ops.gather import batched_searchsorted, counting_searchsorted
+    rng = np.random.RandomState(0)
+    keys = np.sort(rng.randint(0, 40, size=(3, 37)), axis=1).astype(np.float32)
+    queries = rng.randint(-3, 45, size=(3, 29)).astype(np.float32)
+    for side in ("left", "right"):
+        a = counting_searchsorted(jnp.asarray(keys), jnp.asarray(queries), side)
+        b = batched_searchsorted(jnp.asarray(keys), jnp.asarray(queries), side)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n,capacity,density", [
+    (1500, 64, 0.3),     # N not a multiple of the 128 block
+    (1024, 256, 0.05),   # sparse keeps
+    (640, 32, 0.9),      # overflow: count >> capacity
+    (256, 64, 0.0),      # nothing kept
+    (256, 300, 1.0),     # everything kept, capacity > N
+])
+def test_compact_from_cumsum_matches_bisection(n, capacity, density):
+    """Hierarchical counting compaction (cubify's TPU path) == bisection
+    compaction on valid slots, masks, and counts."""
+    from meshrcnn_tpu.ops.gather import (batched_gather_rows,
+                                         batched_searchsorted,
+                                         compact_from_cumsum)
+    rng = np.random.RandomState(int(n + capacity))
+    flags = (rng.rand(4, n) < density).astype(np.int32)
+    cum = jnp.cumsum(jnp.asarray(flags), axis=1)
+
+    src_c, mask_c, count_c = compact_from_cumsum(cum, capacity)
+    # reference: bisection formula (the pre-existing _compact body)
+    q = jnp.broadcast_to(jnp.arange(1, capacity + 1)[None], (4, capacity))
+    src_b = jnp.minimum(batched_searchsorted(cum, q, side="left"), n - 1)
+    count_b = cum[:, -1]
+    mask_b = (q - 1) < jnp.minimum(count_b, capacity)[:, None]
+
+    np.testing.assert_array_equal(np.asarray(count_c), np.asarray(count_b))
+    np.testing.assert_array_equal(np.asarray(mask_c), np.asarray(mask_b))
+    m = np.asarray(mask_b)
+    np.testing.assert_array_equal(np.asarray(src_c)[m], np.asarray(src_b)[m])
+    # masked slots must still be in-bounds (downstream gathers before masking)
+    assert (np.asarray(src_c) >= 0).all() and (np.asarray(src_c) < n).all()
+
+
+def test_cubify_counting_path_matches_bisection():
+    """End-to-end cubify under MESHRCNN_COUNTING_SEARCH=1 (the TPU default
+    path) must produce the identical mesh to the CPU bisection path."""
+    from meshrcnn_tpu.ops import cubify as cubify_mod
+    rng = np.random.RandomState(7)
+    grid = jnp.asarray(rng.rand(2, 6, 6, 6).astype(np.float32))
+    caps = dict(vert_capacity=512, face_capacity=1024, edge_capacity=1024)
+
+    def run():
+        return cubify_mod.cubify(grid, threshold=0.5, **caps)[0]
+
+    os.environ["MESHRCNN_COUNTING_SEARCH"] = "0"
+    try:
+        ref = run()
+        os.environ["MESHRCNN_COUNTING_SEARCH"] = "1"
+        got = run()
+    finally:
+        os.environ.pop("MESHRCNN_COUNTING_SEARCH", None)
+    for name in ("verts", "verts_mask", "faces", "faces_mask", "edges",
+                 "edges_mask"):
+        a, b = np.asarray(getattr(ref, name)), np.asarray(getattr(got, name))
+        vm = np.asarray(ref.verts_mask) if name == "verts" else None
+        if name in ("verts",):
+            np.testing.assert_allclose(a[vm], b[vm], rtol=0, atol=0)
+        elif name.endswith("_mask"):
+            np.testing.assert_array_equal(a, b)
+        else:
+            m = np.asarray(getattr(ref, name + "_mask"))
+            np.testing.assert_array_equal(a[m], b[m])
+
+
+def test_precompute_adjacency_counting_matches_bisection():
+    """precompute_adjacency's histogram boundaries (TPU counting path) must
+    equal the bisection searchsorted boundaries on duplicate/sentinel edges."""
+    from meshrcnn_tpu.ops.graph_conv import precompute_adjacency
+    rng = np.random.RandomState(3)
+    V, E, B = 23, 40, 3
+    edges = rng.randint(0, V, size=(B, E, 2)).astype(np.int32)
+    mask = rng.rand(B, E) < 0.7
+    os.environ["MESHRCNN_COUNTING_SEARCH"] = "0"
+    try:
+        ref = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+        os.environ["MESHRCNN_COUNTING_SEARCH"] = "1"
+        got = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+    finally:
+        os.environ.pop("MESHRCNN_COUNTING_SEARCH", None)
+    for f in ("src_lo", "starts_lo", "ends_lo", "src_hi", "starts_hi",
+              "ends_hi"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(got, f)), err_msg=f)

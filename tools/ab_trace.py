@@ -22,6 +22,8 @@ VARIANTS = [
     ("r3_default", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
                     "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128"},
      {}),
+    ("bisection_search", {"MESHRCNN_COUNTING_SEARCH": "0"}, {}),
+    ("single_gram_chamfer", {"MESHRCNN_CHAMFER_DUALGRAM": "0"}, {}),
     ("cumsum_block_512", {"MESHRCNN_CUMSUM_BLOCK": "512"}, {}),
     ("cumsum_block_256", {"MESHRCNN_CUMSUM_BLOCK": "256"}, {}),
     ("unbatched_chamfer_laxmap", {"MESHRCNN_CUMSUM_BLOCK": "128",
@@ -37,12 +39,15 @@ VARIANTS = [
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
             "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
-            "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1"}
+            "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1",
+            "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
 PIX3D_VARIANTS = [
     ("p3_r3_default", {}, {}),
+    ("p3_bisection_search", {"MESHRCNN_COUNTING_SEARCH": "0"}, {}),
+    ("p3_single_gram_chamfer", {"MESHRCNN_CHAMFER_DUALGRAM": "0"}, {}),
     ("p3_laxmap_knn", {"MESHRCNN_BATCHED_KNN": "0"}, {}),
     ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
     ("p3_gather_roialign", {"MESHRCNN_MATMUL_ROIALIGN": "0"}, {}),
