@@ -157,3 +157,84 @@ def batched_searchsorted(keys: jnp.ndarray, queries: jnp.ndarray,
         hi = jnp.where(go_right, hi, jnp.where(mid < hi, mid, hi))
     return lo
 
+
+
+def use_mxu_scatter() -> bool:
+    """Trace-time switch for the matmul-backward gathers (``take_rows_mxu``).
+
+    Default: on for the TPU backend, where XLA lowers the transpose of a
+    random-index gather to a serialized scatter-add (profiled 19 ms/step
+    across the sampler + vert-align backwards, PERFORMANCE.md round 3); a
+    chunked one-hot matmul computes the same segment sums on the ~idle MXU.
+    Off on CPU (scatters are cheap there, dense one-hot work is not).
+    MESHRCNN_MXU_SCATTER=0/1 forces either path (tests pin closeness).
+    """
+    import os
+    env = os.environ.get("MESHRCNN_MXU_SCATTER")
+    if env is not None:
+        return env == "1"
+    return jax.default_backend() == "tpu"
+
+
+def batched_segment_sum_matmul(values: jnp.ndarray, keys: jnp.ndarray,
+                               num_segments: int, chunk: int = 512,
+                               precision=None) -> jnp.ndarray:
+    """Per-sample segment sum as chunked one-hot MXU matmuls, scatter-free.
+
+    values [B, N, C] grouped by keys [B, N] (row-local ids) -> [B, R, C] with
+    R = num_segments. Out-of-range keys (e.g. a sentinel R) drop out — no
+    one-hot row matches them. Precision: the one-hot factor is exactly
+    representable in bf16, so ``HIGH`` (3-pass) already gives ~1e-7 relative
+    error on the f32 values at half the HIGHEST cost; that is the default.
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGH
+    B, N, C = values.shape
+    # don't pad tiny segment counts (e.g. a 5x5 feature map) to a full chunk
+    chunk = min(chunk, max(128, -(-num_segments // 128) * 128))
+    nc = -(-num_segments // chunk)
+
+    def body(c_idx, _):
+        ids = c_idx * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (chunk, 1), 0)[:, 0]
+        onehot = (keys[:, None, :] == ids[None, :, None]).astype(values.dtype)
+        return c_idx + 1, jnp.einsum("bsn,bnc->bsc", onehot, values,
+                                     precision=precision,
+                                     preferred_element_type=jnp.float32)
+
+    _, out = jax.lax.scan(body, 0, None, length=nc)      # [nc, B, chunk, C]
+    out = jnp.moveaxis(out, 0, 1).reshape(B, nc * chunk, C)
+    return out[:, :num_segments]
+
+
+@jax.custom_vjp
+def _take_rows_mxu(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    return batched_gather_rows(x, idx)
+
+
+def _take_rows_mxu_fwd(x, idx):
+    return batched_gather_rows(x, idx), (idx, x.shape[1])
+
+
+def _take_rows_mxu_bwd(res, g):
+    import numpy as _np
+    idx, R = res
+    dx = batched_segment_sum_matmul(g, idx.astype(jnp.int32), R)
+    didx = _np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dx, didx
+
+
+_take_rows_mxu.defvjp(_take_rows_mxu_fwd, _take_rows_mxu_bwd)
+
+
+def take_rows_mxu(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``batched_gather_rows`` whose BACKWARD is a one-hot MXU matmul.
+
+    x [B, R, C] float, idx [B, Q] int -> [B, Q, C]. Forward is byte-identical
+    to batched_gather_rows; the VJP wrt x is ``batched_segment_sum_matmul``
+    instead of XLA's serialized scatter-add (the TPU pathology this exists
+    for). Falls back to the plain gather (autodiff scatter) off-TPU.
+    """
+    if use_mxu_scatter():
+        return _take_rows_mxu(x, idx)
+    return batched_gather_rows(x, idx)

@@ -121,8 +121,15 @@ def _sorted_segment_sum(contrib: jnp.ndarray, starts: jnp.ndarray,
                         ends: jnp.ndarray) -> jnp.ndarray:
     B, E, C = contrib.shape
     s = _blocked_cumsum(contrib)
-    s = jnp.concatenate([jnp.zeros((B, 1, C), contrib.dtype), s], axis=1)
-    return batched_gather_rows(s, ends) - batched_gather_rows(s, starts)
+    # segment sum = s[end-1] - s[start-1] with s[-1] := 0. Masked selects
+    # instead of prepending a zero row: the concatenate materialised a full
+    # [B, E+1, C] copy of the cumsum (profiled 6.6 ms/step across the 21
+    # GraphConv calls, fwd+bwd, PERFORMANCE.md round 3).
+    hi = batched_gather_rows(s, jnp.maximum(ends - 1, 0))
+    lo = batched_gather_rows(s, jnp.maximum(starts - 1, 0))
+    hi = jnp.where((ends > 0)[..., None], hi, 0.0)
+    lo = jnp.where((starts > 0)[..., None], lo, 0.0)
+    return hi - lo
 
 
 # Largest batch the one-program two-direction aggregation is known safe at on

@@ -76,13 +76,18 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
     from meshrcnn_tpu.ops.gather import (batched_gather_rows,
                                          batched_searchsorted,
                                          counting_searchsorted,
+                                         take_rows_mxu,
                                          use_counting_search)
 
     B, V, _ = verts.shape
     F = faces.shape[1]
     k_face, k1, k2 = jax.random.split(key, 3)
 
-    tri = batched_gather_rows(verts, faces.reshape(B, F * 3)).reshape(B, F, 3, 3)
+    # The area path's gradient is identically zero: areas feed only the
+    # integer face_idx (through probs/cdf/searchsorted comparisons), so
+    # stop_gradient spares autodiff the dead [B,F,9]->[B,V,3] scatter-adds.
+    tri = batched_gather_rows(jax.lax.stop_gradient(verts),
+                              faces.reshape(B, F * 3)).reshape(B, F, 3, 3)
     ab = tri[:, :, 1] - tri[:, :, 0]
     ac = tri[:, :, 2] - tri[:, :, 0]
     areas = 0.5 * jnp.linalg.norm(jnp.cross(ab, ac), axis=-1)   # [B, F]
@@ -100,8 +105,16 @@ def batched_sample_points(key: jax.Array, verts: jnp.ndarray, faces: jnp.ndarray
         face_idx = batched_searchsorted(cdf, u, side="left")
     face_idx = jnp.clip(face_idx, 0, F - 1)
 
-    chosen = batched_gather_rows(tri.reshape(B, F, 9), face_idx).reshape(
-        B, num_points, 3, 3)
+    # chosen[b,n,k] = verts[b, faces[b, face_idx[b,n], k]] — the two gather
+    # levels composed into ONE row gather of verts whose backward is a one-hot
+    # MXU segment sum (take_rows_mxu) instead of two serialized scatter-adds
+    # (profiled ~10 ms/step in the loss backward, PERFORMANCE.md round 3).
+    corner = face_idx[:, :, None] * 3 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 3), 2)                                # [B, N, 3]
+    vidx = batched_gather_rows(
+        faces.reshape(B, F * 3).astype(jnp.int32)[..., None],
+        corner.reshape(B, num_points * 3))[..., 0]              # [B, N*3]
+    chosen = take_rows_mxu(verts, vidx).reshape(B, num_points, 3, 3)
     xi1_sqrt = jnp.sqrt(jax.random.uniform(k1, (B, num_points)))
     xi2 = jax.random.uniform(k2, (B, num_points))
     w0 = 1.0 - xi1_sqrt

@@ -57,13 +57,15 @@ def _bilinear_sample_batched(fmap: jnp.ndarray, rows: jnp.ndarray,
     c0i = c0.astype(jnp.int32)
     r1i = jnp.minimum(r0i + 1, Hf - 1)
     c1i = jnp.minimum(c0i + 1, Wf - 1)
-    flat = fmap.reshape(B * Hf * Wf, C)
-    base = (jnp.arange(B, dtype=jnp.int32) * (Hf * Wf))[:, None]
-    V = rows.shape[1]
+    # corner reads through take_rows_mxu: forward is the same flattened
+    # global-index gather; the BACKWARD becomes a one-hot MXU segment sum
+    # instead of XLA's serialized scatter-add into the feature map (profiled
+    # ~9 ms/step across the refinement stages, PERFORMANCE.md round 3)
+    from meshrcnn_tpu.ops.gather import take_rows_mxu
+    fm_rows = fmap.reshape(B, Hf * Wf, C)
 
     def g(r, c):
-        idx = (base + r * Wf + c).reshape(-1)
-        return flat[idx].reshape(B, V, C)
+        return take_rows_mxu(fm_rows, r * Wf + c)
 
     out = (g(r0i, c0i) * ((1 - fr) * (1 - fc))[..., None]
            + g(r0i, c1i) * ((1 - fr) * fc)[..., None]

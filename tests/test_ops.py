@@ -576,3 +576,45 @@ def test_precompute_adjacency_counting_matches_bisection():
               "ends_hi"):
         np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
                                       np.asarray(getattr(got, f)), err_msg=f)
+
+
+def test_take_rows_mxu_grads_match_scatter():
+    """take_rows_mxu (matmul-backward gather, TPU default) must match the
+    plain gather's autodiff scatter-add gradient through the REAL call sites:
+    batched_sample_points and vert_align."""
+    from meshrcnn_tpu.ops.vert_align import vert_align
+    rng = np.random.RandomState(11)
+    key = jax.random.PRNGKey(5)
+    B, V, F, N = 2, 24, 30, 64
+    verts = rng.randn(B, V, 3).astype(np.float32)
+    faces = rng.randint(0, V, (B, F, 3)).astype(np.int32)
+    fmask = (rng.rand(B, F) < 0.8)
+    fmap = rng.randn(B, 7, 9, 5).astype(np.float32)
+
+    def loss_sample(v, flag):
+        os.environ["MESHRCNN_MXU_SCATTER"] = flag
+        pts, _ = batched_sample_points(key, v, jnp.asarray(faces),
+                                       jnp.asarray(fmask), N)
+        return jnp.sum(pts * pts)
+
+    def loss_align(args, flag):
+        v, fm = args
+        os.environ["MESHRCNN_MXU_SCATTER"] = flag
+        out = vert_align([fm], v, (14, 14))
+        return jnp.sum(out * jnp.cos(out))
+
+    try:
+        g_mx = jax.grad(lambda v: loss_sample(v, "1"))(jnp.asarray(verts))
+        g_sc = jax.grad(lambda v: loss_sample(v, "0"))(jnp.asarray(verts))
+        np.testing.assert_allclose(np.asarray(g_mx), np.asarray(g_sc),
+                                   rtol=1e-3, atol=1e-5)
+        a_mx = jax.grad(lambda a: loss_align(a, "1"))(
+            (jnp.asarray(verts), jnp.asarray(fmap)))
+        a_sc = jax.grad(lambda a: loss_align(a, "0"))(
+            (jnp.asarray(verts), jnp.asarray(fmap)))
+        for x, y in zip(jax.tree_util.tree_leaves(a_mx),
+                        jax.tree_util.tree_leaves(a_sc)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-3, atol=1e-5)
+    finally:
+        os.environ.pop("MESHRCNN_MXU_SCATTER", None)

@@ -24,6 +24,7 @@ VARIANTS = [
      {}),
     ("bisection_search", {"MESHRCNN_COUNTING_SEARCH": "0"}, {}),
     ("single_gram_chamfer", {"MESHRCNN_CHAMFER_DUALGRAM": "0"}, {}),
+    ("scatter_add_bwd", {"MESHRCNN_MXU_SCATTER": "0"}, {}),
     ("cumsum_block_512", {"MESHRCNN_CUMSUM_BLOCK": "512"}, {}),
     ("cumsum_block_256", {"MESHRCNN_CUMSUM_BLOCK": "256"}, {}),
     ("unbatched_chamfer_laxmap", {"MESHRCNN_CUMSUM_BLOCK": "128",
@@ -40,7 +41,8 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_BATCHED_CHAMFER": "1", "MESHRCNN_CUMSUM_BLOCK": "128",
             "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
             "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1",
-            "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1"}
+            "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
+            "MESHRCNN_MXU_SCATTER": "1"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -48,6 +50,7 @@ PIX3D_VARIANTS = [
     ("p3_r3_default", {}, {}),
     ("p3_bisection_search", {"MESHRCNN_COUNTING_SEARCH": "0"}, {}),
     ("p3_single_gram_chamfer", {"MESHRCNN_CHAMFER_DUALGRAM": "0"}, {}),
+    ("p3_scatter_add_bwd", {"MESHRCNN_MXU_SCATTER": "0"}, {}),
     ("p3_laxmap_knn", {"MESHRCNN_BATCHED_KNN": "0"}, {}),
     ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
     ("p3_gather_roialign", {"MESHRCNN_MATMUL_ROIALIGN": "0"}, {}),
