@@ -79,21 +79,21 @@ def counting_searchsorted(keys: jnp.ndarray, queries: jnp.ndarray,
 
 
 def compact_from_cumsum(cum: jnp.ndarray, capacity: int, block: int = 128):
-    """Stream-compaction slot->source mapping, gather-free except ONE row gather.
+    """Stream-compaction slot->source mapping with O(capacity)-sized gathers.
 
     cum: [B, N] inclusive cumsum of keep flags (int). Returns
     (src [B, capacity] int32, mask [B, capacity] bool, count [B] int32) with
     src[b, s] = index of the (s+1)-th kept entry — exactly
     ``batched_searchsorted(cum, s+1, side='left')`` but without the bisection's
     ~log2(N) rounds of random-index gathers (profiled 28.7 ms/step across
-    cubify's three compactions at N up to 1.3M; this form measures ~2 ms).
+    cubify's three compactions at N up to 1.3M; this form measures ~1 ms).
 
     Structure: split N into blocks of ``block``. The block containing slot s
-    and the kept-count before it come from counting compares against the
-    per-block cumsum tails ([B, cap, N/block] cells); the position of the
-    (o+1)-th kept entry *within* each block is comp[b, o] = #{k : within_cum_k
-    <= o} ([B, N, block] cells). Both are fused VPU compare-reduces. One final
-    [B, capacity] gather reads comp at (block_of_slot, offset_in_block).
+    comes from ONE counting pass against the per-block cumsum tails
+    ([B, cap, N/block] cells); the kept-count before it is blockcum[b_of-1]
+    (tiny gather); the position within the block is a counting compare over
+    the slot's own within-block cumsum row (gathered [B, cap, block]). All
+    remaining gathers are O(capacity) rows, never O(N).
     """
     B, N = cum.shape
     pad = (-N) % block
@@ -109,22 +109,25 @@ def compact_from_cumsum(cum: jnp.ndarray, capacity: int, block: int = 128):
         [jnp.zeros((B, 1), cum.dtype), c[:, :-1, -1]], axis=1)     # [B, nb]
     within = c - prev[:, :, None]            # inclusive within-block cumsum
     blockcum = c[:, :, -1]                   # [B, nb] inclusive block tails
-    block_tot = within[:, :, -1]             # [B, nb] kept per block
 
     s = jax.lax.broadcasted_iota(jnp.int32, (capacity, 1), 0)[:, 0]
-    # level 1: containing block + kept-count before it (counting compares)
-    le = blockcum[:, None, :] <= s[None, :, None]                  # [B, cap, nb]
-    b_of = jnp.sum(le, axis=-1, dtype=jnp.int32)
-    lo = jnp.sum(jnp.where(le, block_tot[:, None, :], 0), axis=-1,
-                 dtype=jnp.int32)
-    o = jnp.clip(s[None, :] - lo, 0, block - 1)
+    # level 1: containing block via ONE counting pass ([B, cap, nb] cells);
+    # the kept-count before it reads blockcum[b_of-1] with a tiny [B, cap]
+    # gather (a where-sum over the same [B, cap, nb] grid doubled this
+    # fusion's time, PERFORMANCE.md round 3)
+    b_of = jnp.sum(blockcum[:, None, :] <= s[None, :, None], axis=-1,
+                   dtype=jnp.int32)                                # [B, cap]
     b_of = jnp.clip(b_of, 0, nb - 1)
-    # level 2: comp[b, o] = position of the (o+1)-th kept element in block b
-    o_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, block), 3)
-    comp = jnp.sum(within[:, :, :, None] <= o_iota, axis=2,
-                   dtype=jnp.int32)                                # [B, nb, block]
-    flat = b_of * block + o
-    pos = batched_gather_rows(comp.reshape(B, Np)[..., None], flat)[..., 0]
+    lo = jnp.where(
+        b_of > 0,
+        batched_gather_rows(blockcum[..., None],
+                            jnp.maximum(b_of - 1, 0))[..., 0], 0)
+    o = jnp.clip(s[None, :] - lo, 0, block - 1)
+    # level 2: gather ONLY slot-containing blocks' within-rows ([B, cap,
+    # block]) instead of tabulating positions for every input block
+    # ([B, N, block] cells — ~1 ms/step at cubify's N=1.3M)
+    wrow = batched_gather_rows(within, b_of)                       # [B, cap, block]
+    pos = jnp.sum((wrow <= o[..., None]).astype(jnp.int32), axis=-1)
     src = jnp.minimum(b_of * block + pos, N - 1)
     count = cum[:, -1].astype(jnp.int32)
     mask = s[None, :] < jnp.minimum(count, capacity)[:, None]
@@ -233,8 +236,15 @@ def take_rows_mxu(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     x [B, R, C] float, idx [B, Q] int -> [B, Q, C]. Forward is byte-identical
     to batched_gather_rows; the VJP wrt x is ``batched_segment_sum_matmul``
     instead of XLA's serialized scatter-add (the TPU pathology this exists
-    for). Falls back to the plain gather (autodiff scatter) off-TPU.
+    for). Falls back to the plain gather (autodiff scatter) off-TPU, and for
+    channel counts below MESHRCNN_MXU_SCATTER_MIN_C: at tiny C the one-hot
+    matmul degenerates (XLA materialises the [chunk, N] one-hot to HBM and
+    the MXU M-dim is C/128 utilised — a Pallas kernel measured even worse,
+    8.2 vs 2.9 ms; PERFORMANCE.md round 3), so narrow call sites may prefer
+    the scatter. The default threshold is set by the same-session A/B.
     """
-    if use_mxu_scatter():
+    import os
+    min_c = int(os.environ.get("MESHRCNN_MXU_SCATTER_MIN_C", "32"))
+    if use_mxu_scatter() and x.shape[-1] >= min_c:
         return _take_rows_mxu(x, idx)
     return batched_gather_rows(x, idx)

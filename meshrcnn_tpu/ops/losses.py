@@ -48,9 +48,11 @@ def edge_loss(verts: jnp.ndarray, edges: jnp.ndarray,
     normaliser is the total valid-edge count across the batch, matching its
     batch-global convention.
     """
-    from meshrcnn_tpu.ops.gather import batched_gather_rows
-    v0 = batched_gather_rows(verts, edges[..., 0])
-    v1 = batched_gather_rows(verts, edges[..., 1])
+    # take_rows_mxu: the endpoint gathers' backward is a one-hot MXU segment
+    # sum instead of a serialized scatter-add into verts (ops/gather.py)
+    from meshrcnn_tpu.ops.gather import take_rows_mxu
+    v0 = take_rows_mxu(verts, edges[..., 0])
+    v1 = take_rows_mxu(verts, edges[..., 1])
     d = v0 - v1                      # [B, E, 3]
     sq = jnp.sum(d * d, axis=-1)     # [B, E]
     m = edges_mask.astype(verts.dtype)

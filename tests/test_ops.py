@@ -591,6 +591,8 @@ def test_take_rows_mxu_grads_match_scatter():
     fmask = (rng.rand(B, F) < 0.8)
     fmap = rng.randn(B, 7, 9, 5).astype(np.float32)
 
+    os.environ["MESHRCNN_MXU_SCATTER_MIN_C"] = "0"  # force even C=3 through
+
     def loss_sample(v, flag):
         os.environ["MESHRCNN_MXU_SCATTER"] = flag
         pts, _ = batched_sample_points(key, v, jnp.asarray(faces),
@@ -618,3 +620,4 @@ def test_take_rows_mxu_grads_match_scatter():
                                        rtol=1e-3, atol=1e-5)
     finally:
         os.environ.pop("MESHRCNN_MXU_SCATTER", None)
+        os.environ.pop("MESHRCNN_MXU_SCATTER_MIN_C", None)

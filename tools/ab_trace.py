@@ -25,6 +25,7 @@ VARIANTS = [
     ("bisection_search", {"MESHRCNN_COUNTING_SEARCH": "0"}, {}),
     ("single_gram_chamfer", {"MESHRCNN_CHAMFER_DUALGRAM": "0"}, {}),
     ("scatter_add_bwd", {"MESHRCNN_MXU_SCATTER": "0"}, {}),
+    ("mxu_all_widths", {"MESHRCNN_MXU_SCATTER_MIN_C": "0"}, {}),
     ("cumsum_block_512", {"MESHRCNN_CUMSUM_BLOCK": "512"}, {}),
     ("cumsum_block_256", {"MESHRCNN_CUMSUM_BLOCK": "256"}, {}),
     ("unbatched_chamfer_laxmap", {"MESHRCNN_CUMSUM_BLOCK": "128",
@@ -42,7 +43,7 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
             "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1",
             "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
-            "MESHRCNN_MXU_SCATTER": "1"}
+            "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
