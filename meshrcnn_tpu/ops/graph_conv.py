@@ -55,12 +55,34 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
     hi_k = jnp.where(edges_mask, hi, sentinel)
     v_ids = jnp.arange(V, dtype=jnp.int32)
 
+    # pack (dst_key, src) into one int32 and sort THAT directly: the argsort +
+    # two permutation gathers cost ~0.7 ms each of row-serialized index
+    # gathers on TPU (hlo_stats, PERFORMANCE.md round 3); one radix sort of
+    # the packed keys needs none. Sources only need S = ceil(log2(V+1)) bits,
+    # so the pack fits int32 whenever 2*S <= 31 (V <= 32767 — both recipe
+    # capacities); larger capacities keep the argsort path. Within-segment
+    # order becomes src-sorted instead of slot-sorted, which only permutes
+    # f32 summation order inside each <=deg-sized segment.
+    import os
+    shift = max(int(V + 1).bit_length(), 1)
+    packable = (2 * shift <= 31
+                and os.environ.get("MESHRCNN_PACKED_TOPO", "1") == "1")
+
     def direction(dst_keys, src):
-        order = jnp.argsort(dst_keys, axis=1)
-        keys = batched_gather_rows(dst_keys[..., None], order)[..., 0]
-        # padded slots must not contribute: redirect their source to the sentinel
-        # segment... they already are (key = V sorts last); sources stay as-is.
-        src_sorted = batched_gather_rows(src[..., None], order)[..., 0]
+        if packable:
+            # clamp: padded slots' src is whatever the buffer holds; it lands
+            # in the sentinel segment either way, but must not corrupt the
+            # key bits of the pack
+            src_c = jnp.clip(src.astype(jnp.int32), 0, V)
+            packed = jnp.sort((dst_keys << shift) | src_c, axis=1)
+            keys = packed >> shift
+            src_sorted = packed & ((1 << shift) - 1)
+        else:
+            order = jnp.argsort(dst_keys, axis=1)
+            keys = batched_gather_rows(dst_keys[..., None], order)[..., 0]
+            # padded slots must not contribute: redirect their source to the
+            # sentinel segment... they already are (key = V sorts last).
+            src_sorted = batched_gather_rows(src[..., None], order)[..., 0]
         if use_counting_search():
             # integer keys + contiguous queries 0..V-1: both boundaries come
             # from ONE histogram (ends = cumulative counts, starts = ends -
@@ -93,6 +115,22 @@ def _cumsum_block() -> int:
     return int(os.environ.get("MESHRCNN_CUMSUM_BLOCK", "128"))
 
 
+def _cumsum_precision():
+    """Trace-time precision for the prefix-sum matmul (MESHRCNN_CUMSUM_PRECISION).
+
+    The lower-triangular factor is 0/1 — exactly representable in bf16 — so
+    HIGH (3 bf16 passes, splitting only the data operand's mantissa) already
+    carries ~22 mantissa bits of the f32 contributions at half the HIGHEST
+    cost; the same argument as ops/gather.py's one-hot segment sum. The
+    residual error lands on the cumsum, whose segment *differences* the
+    aggregation reads — bounded by ~1e-6 relative to the running sum, the
+    precision class the existing MXU-backward path already accepts.
+    """
+    import os
+    name = os.environ.get("MESHRCNN_CUMSUM_PRECISION", "high").upper()
+    return getattr(jax.lax.Precision, name)
+
+
 def _blocked_cumsum(x: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
     """Prefix sum over axis 1 of [B, E, C] as one MXU pass.
 
@@ -109,9 +147,11 @@ def _blocked_cumsum(x: jnp.ndarray, block: int | None = None) -> jnp.ndarray:
     blocks = xp.reshape(B, nb, block, C)
     tri = jnp.tril(jnp.ones((block, block), x.dtype))
     within = jnp.einsum("ts,bnsc->bntc", tri, blocks,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=_cumsum_precision(),
                         preferred_element_type=jnp.float32)
-    totals = blocks.sum(axis=2)                             # [B, nb, C]
+    # block totals = the f32 within-cumsum's last row (a bf16 blocks.sum
+    # would re-accumulate in bf16 — and this is free)
+    totals = within[:, :, -1, :]                            # [B, nb, C]
     offsets = jnp.cumsum(totals, axis=1) - totals           # tiny log-scan
     out = within + offsets[:, :, None, :]
     return out.reshape(B, nb * block, C)[:, :E]
@@ -145,12 +185,28 @@ _AGG_SAFE_BATCH = 8
 _AGG_CHUNK = 4
 
 
+def _agg_bf16() -> bool:
+    """Trace-time switch: gather + prefix-sum the edge contributions in bf16.
+
+    The aggregation's cost is bandwidth — the [B, E, C] contribution gathers
+    and their cumsum dominate the profiled step (PERFORMANCE.md round 3);
+    bf16 halves every byte of it and makes the tri matmul a single native
+    MXU pass (bf16 x bf16 products are exact, accumulation stays f32 via
+    preferred_element_type). Cost: contributions round to bf16 (~4e-3
+    relative) before summation — the same noise class as the bf16 conv
+    stacks. Default OFF pending a parity run; MESHRCNN_AGG_BF16=1 enables.
+    """
+    import os
+    return os.environ.get("MESHRCNN_AGG_BF16", "0") == "1"
+
+
 def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
-    out = _sorted_segment_sum(batched_gather_rows(feats, topo.src_lo),
+    f = feats.astype(jnp.bfloat16) if _agg_bf16() else feats
+    out = _sorted_segment_sum(batched_gather_rows(f, topo.src_lo),
                               topo.starts_lo, topo.ends_lo)
-    out = out + _sorted_segment_sum(batched_gather_rows(feats, topo.src_hi),
+    out = out + _sorted_segment_sum(batched_gather_rows(f, topo.src_hi),
                                     topo.starts_hi, topo.ends_hi)
-    return out
+    return out.astype(feats.dtype)
 
 
 def _chunking_active(B: int) -> bool:

@@ -621,3 +621,77 @@ def test_take_rows_mxu_grads_match_scatter():
     finally:
         os.environ.pop("MESHRCNN_MXU_SCATTER", None)
         os.environ.pop("MESHRCNN_MXU_SCATTER_MIN_C", None)
+
+
+def test_packed_topo_matches_argsort():
+    """The packed-key sort topology (default) must produce the same segment
+    boundaries and the same segment *contents* as the argsort+gather path —
+    within-segment order may differ (src-sorted vs original slot order), so
+    aggregation is compared on integer features where summation is exact."""
+    from meshrcnn_tpu.ops.graph_conv import (aggregate_neighbours,
+                                             precompute_adjacency)
+    rng = np.random.RandomState(7)
+    V, E, B = 23, 40, 3
+    edges = rng.randint(0, V, size=(B, E, 2)).astype(np.int32)
+    # include garbage (out-of-range) src values on padded slots: the pack
+    # must clamp them rather than let them corrupt the key bits
+    mask = rng.rand(B, E) < 0.7
+    edges[~mask] = rng.randint(-5, 3 * V, size=edges[~mask].shape)
+    feats = rng.randint(-4, 5, size=(B, V, 8)).astype(np.float32)
+    os.environ["MESHRCNN_PACKED_TOPO"] = "0"
+    try:
+        t_ref = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+        a_ref = aggregate_neighbours(jnp.asarray(feats), t_ref)
+        os.environ["MESHRCNN_PACKED_TOPO"] = "1"
+        t_got = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+        a_got = aggregate_neighbours(jnp.asarray(feats), t_got)
+    finally:
+        os.environ.pop("MESHRCNN_PACKED_TOPO", None)
+    for f in ("starts_lo", "ends_lo", "starts_hi", "ends_hi"):
+        np.testing.assert_array_equal(np.asarray(getattr(t_ref, f)),
+                                      np.asarray(getattr(t_got, f)), err_msg=f)
+    # segment contents: sort each vertex's slice of srcs before comparing
+    for side in ("lo", "hi"):
+        sref = np.asarray(getattr(t_ref, f"src_{side}"))
+        sgot = np.asarray(getattr(t_got, f"src_{side}"))
+        starts = np.asarray(getattr(t_ref, f"starts_{side}"))
+        ends = np.asarray(getattr(t_ref, f"ends_{side}"))
+        for b in range(B):
+            for v in range(V):
+                np.testing.assert_array_equal(
+                    np.sort(sref[b, starts[b, v]:ends[b, v]]),
+                    np.sort(sgot[b, starts[b, v]:ends[b, v]]),
+                    err_msg=f"{side} segment b={b} v={v}")
+    np.testing.assert_array_equal(np.asarray(a_ref), np.asarray(a_got))
+
+
+def test_aggregate_bf16_close_and_self_adjoint():
+    """MESHRCNN_AGG_BF16=1 (opt-in bandwidth path) must stay within bf16
+    rounding of the f32 aggregation, preserve output dtype, and keep the
+    self-adjoint custom VJP."""
+    from meshrcnn_tpu.ops.graph_conv import (aggregate_neighbours,
+                                             precompute_adjacency)
+    rng = np.random.RandomState(9)
+    B, V, E, C = 2, 48, 96, 16
+    edges = rng.randint(0, V, (B, E, 2)).astype(np.int32)
+    mask = rng.rand(B, E) > 0.3
+    feats = rng.randn(B, V, C).astype(np.float32)
+    topo = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+
+    def run(flag):
+        os.environ["MESHRCNN_AGG_BF16"] = flag
+        out = aggregate_neighbours(jnp.asarray(feats), topo)
+        g = jax.grad(lambda f: jnp.sum(
+            aggregate_neighbours(f, topo) ** 2))(jnp.asarray(feats))
+        return out, g
+
+    try:
+        out16, g16 = run("1")
+        out32, g32 = run("0")
+    finally:
+        os.environ.pop("MESHRCNN_AGG_BF16", None)
+    assert out16.dtype == jnp.float32
+    scale = float(jnp.max(jnp.abs(out32))) + 1e-9
+    assert float(jnp.max(jnp.abs(out16 - out32))) / scale < 2e-2
+    gscale = float(jnp.max(jnp.abs(g32))) + 1e-9
+    assert float(jnp.max(jnp.abs(g16 - g32))) / gscale < 2e-2

@@ -36,6 +36,9 @@ VARIANTS = [
     ("xla_chamfer", {"MESHRCNN_FUSED_CHAMFER": "0"}, {}),
     ("xla_knn", {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "0"},
      {"report_unweighted": True}),
+    ("cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
+    ("argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
+    ("agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
 ]
 
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
@@ -43,7 +46,9 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_PROJECT_FIRST": "1", "MESHRCNN_BATCHED_KNN": "1",
             "MESHRCNN_MATMUL_ROIALIGN": "1", "MESHRCNN_FACE_NORMALS": "1",
             "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
-            "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32"}
+            "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32",
+            "MESHRCNN_CUMSUM_PRECISION": "HIGH", "MESHRCNN_PACKED_TOPO": "1",
+            "MESHRCNN_AGG_BF16": "0"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -56,6 +61,9 @@ PIX3D_VARIANTS = [
     ("p3_xla_knn", {"MESHRCNN_FUSED_KNN": "0"}, {}),
     ("p3_gather_roialign", {"MESHRCNN_MATMUL_ROIALIGN": "0"}, {}),
     ("p3_pca_normals", {"MESHRCNN_FACE_NORMALS": "0"}, {}),
+    ("p3_cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
+    ("p3_argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
+    ("p3_agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
 ]
 
 
