@@ -14,7 +14,11 @@ Measures full train-step throughput at the reference training recipes:
   4.592 s/batch = 0.871 samples/s (decoded from
   /root/reference/checkpoints/pix3d.st) — the most reference-favorable choice.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a cumulative JSON record line ({"metric", "value", "unit",
+"vs_baseline", ...}) after each bench completes, flushed immediately — the last
+line is always the most complete record, and a timeout mid-run still leaves the
+headline on stdout (round-3 lesson: the all-at-the-end print lost everything to
+rc=124).
 """
 from __future__ import annotations
 
@@ -194,15 +198,23 @@ def bench_pix3d(B=4):
 
 
 def main():
+    t_start = time.perf_counter()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["both", "ShapeNet", "Pix3D"], default="both",
-                    help="default 'both' runs the two recipes and prints ONE "
-                         "combined JSON line (ShapeNet as the headline metric, "
-                         "Pix3D under pix3d_* keys) so the driver's plain "
-                         "`python bench.py` captures both models")
+                    help="default 'both' runs the two recipes, printing a "
+                         "cumulative JSON line after EACH bench completes "
+                         "(ShapeNet as the headline metric, Pix3D under pix3d_* "
+                         "keys) so a timeout mid-run still leaves the driver a "
+                         "parseable record of everything measured so far")
     ap.add_argument("--batch", type=int, default=None,
                     help="override the recipe batch size (scaling sweeps; "
                          "headline runs use the reference recipe batch)")
+    ap.add_argument("--budget", type=float, default=330.0,
+                    help="internal wall-clock budget in seconds: secondary "
+                         "benches are skipped (and recorded as skipped) once "
+                         "elapsed time exceeds this, so the process always "
+                         "exits cleanly within the driver's timeout "
+                         "(round-3 lesson: rc=124 loses everything)")
     args = ap.parse_args()
 
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
@@ -227,30 +239,54 @@ def main():
         if args.model == "both":  # carry the Pix3D half of the combined record
             record["pix3d_train_samples_per_sec"] = 0.0
             record["pix3d_vs_baseline"] = 0.0
-        print(json.dumps(record))
+        print(json.dumps(record), flush=True)
         return
+
+    def elapsed():
+        return time.perf_counter() - t_start
+
+    def emit(record):
+        # cumulative record, flushed immediately: the driver keeps the tail of
+        # stdout and parses the last JSON line, so every emit supersedes the
+        # previous one and a kill mid-run still leaves the latest full record
+        record["bench_elapsed_s"] = round(elapsed(), 1)
+        print(json.dumps(record), flush=True)
 
     if args.model == "ShapeNet":
         result, times = bench_shapenet(args.batch or 3)
         result["window_s"] = [round(t, 3) for t in times]
+        emit(result)
     elif args.model == "Pix3D":
         result, times = bench_pix3d(args.batch or 4)
         result["window_s"] = [round(t, 3) for t in times]
+        emit(result)
     else:
         result, times = bench_shapenet(args.batch or 3)
         result["window_s"] = [round(t, 3) for t in times]
+        emit(result)  # headline lands even if the secondaries never finish
+        # secondary: Pix3D before the normal-term variant — it is the other
+        # model family (more informative than a ShapeNet re-run variant)
+        if elapsed() < args.budget:
+            p3d, p3d_times = bench_pix3d(args.batch or 4)
+            result["pix3d_train_samples_per_sec"] = p3d["value"]
+            result["pix3d_vs_baseline"] = p3d["vs_baseline"]
+            result["pix3d_window_s"] = [round(t, 3) for t in p3d_times]
+            for k in ("flops_per_step", "achieved_tflops", "mfu_pct_vs_bf16_peak"):
+                if k in p3d:
+                    result[f"pix3d_{k}"] = p3d[k]
+            emit(result)
+        else:
+            result["pix3d_skipped"] = f"budget {args.budget}s exceeded"
+            emit(result)
         # same-session secondary: recipe with the normal metric force-computed
         # (the reference computed-and-discarded it; weight stays 0 in the total)
-        with_n, _ = bench_shapenet(args.batch or 3, report_unweighted=True)
-        result["shapenet_with_normal_term_sps"] = with_n["value"]
-        p3d, p3d_times = bench_pix3d(args.batch or 4)
-        result["pix3d_train_samples_per_sec"] = p3d["value"]
-        result["pix3d_vs_baseline"] = p3d["vs_baseline"]
-        result["pix3d_window_s"] = [round(t, 3) for t in p3d_times]
-        for k in ("flops_per_step", "achieved_tflops", "mfu_pct_vs_bf16_peak"):
-            if k in p3d:
-                result[f"pix3d_{k}"] = p3d[k]
-    print(json.dumps(result))
+        if elapsed() < args.budget:
+            with_n, _ = bench_shapenet(args.batch or 3, report_unweighted=True)
+            result["shapenet_with_normal_term_sps"] = with_n["value"]
+            emit(result)
+        else:
+            result["normal_term_skipped"] = f"budget {args.budget}s exceeded"
+            emit(result)
 
 
 if __name__ == "__main__":

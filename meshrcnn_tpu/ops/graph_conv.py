@@ -58,22 +58,26 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
     # pack (dst_key, src) into one int32 and sort THAT directly: the argsort +
     # two permutation gathers cost ~0.7 ms each of row-serialized index
     # gathers on TPU (hlo_stats, PERFORMANCE.md round 3); one radix sort of
-    # the packed keys needs none. Sources only need S = ceil(log2(V+1)) bits,
-    # so the pack fits int32 whenever 2*S <= 31 (V <= 32767 — both recipe
-    # capacities); larger capacities keep the argsort path. Within-segment
-    # order becomes src-sorted instead of slot-sorted, which only permutes
-    # f32 summation order inside each <=deg-sized segment.
+    # the packed keys needs none. The largest packed field is the sentinel
+    # key V itself, needing S = V.bit_length() bits (values 0..V fit since
+    # 2^S - 1 >= V), so the pack fits int32 whenever 2*S <= 31
+    # (V <= 32767 — both recipe capacities); larger capacities keep the
+    # argsort path. Within-segment order becomes src-sorted instead of
+    # slot-sorted, which only permutes f32 summation order inside each
+    # <=deg-sized segment.
     import os
-    shift = max(int(V + 1).bit_length(), 1)
+    shift = max(int(V).bit_length(), 1)
     packable = (2 * shift <= 31
                 and os.environ.get("MESHRCNN_PACKED_TOPO", "1") == "1")
 
     def direction(dst_keys, src):
         if packable:
-            # clamp: padded slots' src is whatever the buffer holds; it lands
-            # in the sentinel segment either way, but must not corrupt the
-            # key bits of the pack
-            src_c = jnp.clip(src.astype(jnp.int32), 0, V)
+            # clamp to V-1: padded slots' src is whatever the buffer holds;
+            # the sentinel key bits alone already route them to the unread
+            # tail segment, and keeping src < V means a gather of the sorted
+            # sources can never read across the sample boundary (row V of the
+            # flattened [B*V, C] features belongs to the NEXT sample)
+            src_c = jnp.clip(src.astype(jnp.int32), 0, V - 1)
             packed = jnp.sort((dst_keys << shift) | src_c, axis=1)
             keys = packed >> shift
             src_sorted = packed & ((1 << shift) - 1)
@@ -81,8 +85,12 @@ def precompute_adjacency(edges: jnp.ndarray, edges_mask: jnp.ndarray,
             order = jnp.argsort(dst_keys, axis=1)
             keys = batched_gather_rows(dst_keys[..., None], order)[..., 0]
             # padded slots must not contribute: redirect their source to the
-            # sentinel segment... they already are (key = V sorts last).
-            src_sorted = batched_gather_rows(src[..., None], order)[..., 0]
+            # sentinel segment... they already are (key = V sorts last). Same
+            # V-1 clamp as the packed path: no cross-sample gather from the
+            # unread tail.
+            src_sorted = batched_gather_rows(
+                jnp.clip(src.astype(jnp.int32), 0, V - 1)[..., None],
+                order)[..., 0]
         if use_counting_search():
             # integer keys + contiguous queries 0..V-1: both boundaries come
             # from ONE histogram (ends = cumulative counts, starts = ends -

@@ -243,3 +243,42 @@ def test_pix3d_scan_cache_roundtrip(tmp_path):
     os.utime(root / "img" / "c.png", (2, 2))
     ds4 = pix3dDataset(str(root))
     assert [r["img"] for r in ds4.records] == ["img/a.png", "img/d.png"]
+
+
+def test_letterbox_preserves_aspect_and_geometry():
+    """_resize_sample letterboxes (aspect preserved, bottom/right zero pad) and
+    boxes/masks survive the transform round-trip (VERDICT r3 item 5; reference
+    GeneralizedRCNNTransform, pix3d_model.py:143)."""
+    from meshrcnn_tpu.data.datasets import Sample, _resize_sample
+    from meshrcnn_tpu.data.serialization import Mesh
+
+    h, w, size = 40, 80, 64              # wide image: scale = 64/80 = 0.8
+    image = np.zeros((h, w, 3), np.float32)
+    image[10:30, 20:60] = 1.0            # bright object block
+    mask = np.zeros((h, w), np.float32)
+    mask[10:30, 20:60] = 1.0
+    boxes = np.asarray([[20.0, 10.0, 60.0, 30.0]], np.float32)
+    s = Sample(image=image, voxels=np.zeros((4, 4, 4), np.float32),
+               mesh=Mesh(np.zeros((3, 3), np.float32),
+                         np.asarray([[0, 1, 2]], np.int64)),
+               label=1, boxes=boxes, mask=mask)
+    out = _resize_sample(s, size)
+
+    assert out.image.shape == (size, size, 3)
+    scale = size / w                      # 0.8; new content extent 64 x 32
+    nh = round(h * scale)
+    # aspect preserved: content occupies [:nh, :64]; the pad strip is zero
+    assert out.image[nh + 1:].max() == 0.0 and out.mask[nh + 1:].max() == 0.0
+    # boxes scale isotropically — width/height ratio is unchanged
+    bx = out.boxes[0]
+    np.testing.assert_allclose(bx, boxes[0] * scale, atol=1e-5)
+    ow, oh = bx[2] - bx[0], bx[3] - bx[1]
+    np.testing.assert_allclose(ow / oh, (60 - 20) / (30 - 10), rtol=1e-5)
+    # mask content agrees with the scaled box (nearest resize: +-1 px edges)
+    ys, xs = np.nonzero(out.mask)
+    assert abs(xs.min() - bx[0]) <= 1 and abs(xs.max() + 1 - bx[2]) <= 1
+    assert abs(ys.min() - bx[1]) <= 1 and abs(ys.max() + 1 - bx[3]) <= 1
+    # square input of target size passes through untouched
+    sq = Sample(image=np.ones((size, size, 3), np.float32),
+                voxels=s.voxels, mesh=s.mesh, label=1)
+    assert _resize_sample(sq, size) is sq

@@ -695,3 +695,40 @@ def test_aggregate_bf16_close_and_self_adjoint():
     assert float(jnp.max(jnp.abs(out16 - out32))) / scale < 2e-2
     gscale = float(jnp.max(jnp.abs(g32))) + 1e-9
     assert float(jnp.max(jnp.abs(g16 - g32))) / gscale < 2e-2
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="matmul precision only differs on TPU")
+def test_cumsum_high_vs_highest_segment_sums_tpu():
+    """The prefix-sum matmul's HIGH default (graph_conv._cumsum_precision) must
+    track HIGHEST within f32 round-off at realistic aggregation magnitudes —
+    the TPU-visible bound backing the default (ADVICE r3: CPU ignores
+    precision, so only a TPU-marked test can catch a regression)."""
+    import os
+    from meshrcnn_tpu.ops.graph_conv import aggregate_neighbours, precompute_adjacency
+
+    rng = np.random.RandomState(0)
+    B, V, E, C = 2, 4096, 16384, 128
+    edges = rng.randint(0, V, (B, E, 2)).astype(np.int32)
+    mask = rng.rand(B, E) < 0.9
+    # realistic: post-ReLU GraphConv activations, O(1) scale with occasional spikes
+    feats = np.maximum(rng.randn(B, V, C), 0).astype(np.float32)
+    feats[:, rng.randint(0, V, 16)] *= 30.0
+    topo = precompute_adjacency(jnp.asarray(edges), jnp.asarray(mask), V)
+
+    def run():
+        return np.asarray(jax.jit(lambda f: aggregate_neighbours(f, topo))(
+            jnp.asarray(feats)))
+
+    assert os.environ.get("MESHRCNN_CUMSUM_PRECISION", "high") == "high"
+    got_high = run()
+    os.environ["MESHRCNN_CUMSUM_PRECISION"] = "highest"
+    try:
+        got_highest = run()
+    finally:
+        os.environ.pop("MESHRCNN_CUMSUM_PRECISION")
+    # per-vertex neighbour sums are O(deg~4) values of O(1): absolute 1e-3
+    # leaves ~100x headroom over bf16-3-pass round-off at the cumsum scale
+    err = np.abs(got_high - got_highest)
+    rel = err / np.maximum(np.abs(got_highest), 1.0)
+    assert rel.max() < 1e-3, (rel.max(), err.max())
