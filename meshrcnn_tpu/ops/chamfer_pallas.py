@@ -44,13 +44,31 @@ def _pad_points_t(x: jnp.ndarray, n_pad: int) -> jnp.ndarray:
     return xt
 
 
+def _gram_dot(a, b, bf16: bool):
+    """K=8 gram on the MXU: a [8, X], b [8, Y] -> [X, Y] f32.
+
+    bf16=True rounds the point coordinates to bf16 and runs ONE native MXU
+    pass instead of HIGHEST's multi-pass f32 emulation. Distance error is
+    ~4e-3 relative — enough to flip near-tie argmins only; the returned min
+    VALUES are recomputed exactly from the indices outside the kernel
+    (_exact_sums), so loss numerics are unaffected by the gram precision.
+    """
+    if bf16:
+        return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                                   b.astype(jnp.bfloat16),
+                                   (((0,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
 def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, i, j, *, dual: bool = False):
+                 argq_part_ref, i, j, *, dual: bool = False,
+                 bf16_gram: bool = False):
     pt = pt_ref[:]                     # [8, TP]
     qt = qt_ref[:]                     # [8, TQ]
-    pq = jax.lax.dot_general(pt, qt, (((0,), (0,)), ((), ())),
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=jnp.float32)   # [TP, TQ]
+    pq = _gram_dot(pt, qt, bf16_gram)                              # [TP, TQ]
     pp = jnp.sum(pt * pt, axis=0)      # [TP]
     qq = jnp.sum(qt * qt, axis=0)      # [TQ]
     d = pp[:, None] + qq[None, :] - 2.0 * pq
@@ -68,9 +86,7 @@ def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
         # ~idle (K=8 gram). Values agree to MXU rounding (the transposed
         # gram's f32 passes round differently in the last ulp — measured
         # 2/1500 near-tie argmin flips; tests pin allclose + 99.9% argmin).
-        qp = jax.lax.dot_general(qt, pt, (((0,), (0,)), ((), ())),
-                                 precision=jax.lax.Precision.HIGHEST,
-                                 preferred_element_type=jnp.float32)  # [TQ, TP]
+        qp = _gram_dot(qt, pt, bf16_gram)                            # [TQ, TP]
         dT = qq[:, None] + pp[None, :] - 2.0 * qp
         tile_min = jnp.min(dT, axis=0)
         tile_arg = jnp.argmin(dT, axis=0).astype(jnp.int32) + j * d.shape[1]
@@ -103,17 +119,19 @@ def _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
 
 
 def _kernel(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref,
-            *, dual: bool = False):
+            *, dual: bool = False, bf16_gram: bool = False):
     _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, pl.program_id(0), pl.program_id(1), dual=dual)
+                 argq_part_ref, pl.program_id(0), pl.program_id(1), dual=dual,
+                 bf16_gram=bf16_gram)
 
 
 def _kernel_b(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref, argq_part_ref,
-              *, dual: bool = False):
+              *, dual: bool = False, bf16_gram: bool = False):
     """Rank-2 batched wrapper: grid (B, I, J); the batch is resolved entirely
     by the BlockSpec index maps, so the body only needs (i, j)."""
     _kernel_body(pt_ref, qt_ref, minp_ref, argp_ref, minq_part_ref,
-                 argq_part_ref, pl.program_id(1), pl.program_id(2), dual=dual)
+                 argq_part_ref, pl.program_id(1), pl.program_id(2), dual=dual,
+                 bf16_gram=bf16_gram)
 
 
 def _use_dual_gram() -> bool:
@@ -124,30 +142,48 @@ def _use_dual_gram() -> bool:
     return os.environ.get("MESHRCNN_CHAMFER_DUALGRAM", "1") == "1"
 
 
-@partial(jax.jit, static_argnames=("dual",))
-def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray, dual: bool = False):
+def _use_bf16_gram() -> bool:
+    """Trace-time gate: bf16 distance grams in the chamfer kernel
+    (MESHRCNN_CHAMFER_BF16GRAM). Safe for loss values because the sums are
+    recomputed exactly from the argmin indices (_exact_sums); only near-tie
+    argmin selection can differ. Default off pending the A/B + parity record."""
+    import os
+    return os.environ.get("MESHRCNN_CHAMFER_BF16GRAM", "0") == "1"
+
+
+def _tile_q() -> int:
+    """Q-axis tile width (MESHRCNN_CHAMFER_TILEQ, default TILE). Wider q tiles
+    cut the revisited-minp traffic and the grid's per-cell overhead linearly in
+    J; VMEM holds ~3 [TILE, TILE_Q] f32 blocks, so 2048 is the practical max."""
+    import os
+    return int(os.environ.get("MESHRCNN_CHAMFER_TILEQ", str(TILE)))
+
+
+@partial(jax.jit, static_argnames=("dual", "bf16_gram", "tile_q"))
+def _chamfer_bidir_pallas(p: jnp.ndarray, q: jnp.ndarray, dual: bool = False,
+                          bf16_gram: bool = False, tile_q: int = TILE):
     N = p.shape[0]
     M = q.shape[0]
     n_pad = -(-N // TILE) * TILE
-    m_pad = -(-M // TILE) * TILE
+    m_pad = -(-M // tile_q) * tile_q
     I = n_pad // TILE
-    J = m_pad // TILE
+    J = m_pad // tile_q
     pt = _pad_points_t(p, n_pad)
     qt = _pad_points_t(q, m_pad)
 
     grid = (I, J)
     minp, argp, minq_part, argq_part = pl.pallas_call(
-        partial(_kernel, dual=dual),
+        partial(_kernel, dual=dual, bf16_gram=bf16_gram),
         grid=grid,
         in_specs=[
             pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_q), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tile_q), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
@@ -191,16 +227,39 @@ def _segment_sum_by_key(values: jnp.ndarray, keys: jnp.ndarray,
     return out.reshape(pad_v, values.shape[1])[:num_segments]
 
 
+def _exact_sums(p, q, i_p, i_q):
+    """Chamfer sums recomputed exactly from the argmin indices.
+
+    The kernel's min values come through the Gram identity |p|^2+|q|^2-2p.q,
+    which cancels catastrophically for near points (and inherits the gram's
+    precision); the difference form (p - q_a)^2 is exact in f32 given the
+    assignment and costs two O(N) gathers. This makes the loss VALUE
+    independent of in-kernel gram precision — the indices are the only kernel
+    output that matters, and the closed-form VJP already differentiates
+    exactly this fixed-assignment objective.
+    """
+    d_p = jnp.sum((p - q[i_p]) ** 2, axis=-1)
+    d_q = jnp.sum((q - p[i_q]) ** 2, axis=-1)
+    return jnp.sum(d_p), jnp.sum(d_q)
+
+
+def _run_fused(p, q):
+    _, i_p, _, i_q = _chamfer_bidir_pallas(
+        p, q, dual=_use_dual_gram(), bf16_gram=_use_bf16_gram(),
+        tile_q=_tile_q())
+    s_p, s_q = _exact_sums(p, q, i_p, i_q)
+    return s_p, i_p, s_q, i_q
+
+
 @jax.custom_vjp
 def chamfer_sums_fused(p: jnp.ndarray, q: jnp.ndarray):
     """(sum_i min_j d, idx_p, sum_j min_i d, idx_q) via the fused Pallas kernel."""
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q, dual=_use_dual_gram())
-    return jnp.sum(d_p), i_p, jnp.sum(d_q), i_q
+    return _run_fused(p, q)
 
 
 def _fwd(p, q):
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas(p, q, dual=_use_dual_gram())
-    return (jnp.sum(d_p), i_p, jnp.sum(d_q), i_q), (p, q, i_p, i_q)
+    s_p, i_p, s_q, i_q = _run_fused(p, q)
+    return (s_p, i_p, s_q, i_q), (p, q, i_p, i_q)
 
 
 def _bwd(res, cots):
@@ -226,7 +285,8 @@ chamfer_sums_fused.defvjp(_fwd, _bwd)
 # ---------------------------------------------------------------------------
 
 def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
-                                  dual: bool = False):
+                                  dual: bool = False, bf16_gram: bool = False,
+                                  tile_q: int = TILE):
     """Batched fused bidirectional NN: p [B,N,3], q [B,M,3] -> per-sample
     (d_p [B,N], i_p [B,N], d_q [B,M], i_q [B,M]).
 
@@ -242,21 +302,21 @@ def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
     B, N = p.shape[0], p.shape[1]
     M = q.shape[1]
     n_pad = -(-N // TILE) * TILE
-    m_pad = -(-M // TILE) * TILE
+    m_pad = -(-M // tile_q) * tile_q
     I = n_pad // TILE
-    J = m_pad // TILE
+    J = m_pad // tile_q
     pt = jax.vmap(_pad_points_t, in_axes=(0, None))(p, n_pad)   # [B, 8, n_pad]
     qt = jax.vmap(_pad_points_t, in_axes=(0, None))(q, m_pad)
     pt2 = pt.reshape(B * 8, n_pad)
     qt2 = qt.reshape(B * 8, m_pad)
 
     minp, argp, minq_part, argq_part = pl.pallas_call(
-        partial(_kernel_b, dual=dual),
+        partial(_kernel_b, dual=dual, bf16_gram=bf16_gram),
         grid=(B, I, J),
         in_specs=[
             pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda b, i, j: (b, j),
+            pl.BlockSpec((8, tile_q), lambda b, i, j: (b, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -264,9 +324,9 @@ def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, TILE), lambda b, i, j: (b, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda b, i, j: (b * I + i, j),
+            pl.BlockSpec((8, tile_q), lambda b, i, j: (b * I + i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, TILE), lambda b, i, j: (b * I + i, j),
+            pl.BlockSpec((8, tile_q), lambda b, i, j: (b * I + i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -288,6 +348,22 @@ def _chamfer_bidir_pallas_batched(p: jnp.ndarray, q: jnp.ndarray,
     return d_p, i_p, d_q, i_q
 
 
+def _exact_sums_batched(p, q, i_p, i_q):
+    """Batched _exact_sums: sums recomputed from indices (see _exact_sums)."""
+    d_p = jnp.sum((p - jnp.take_along_axis(q, i_p[..., None], axis=1)) ** 2,
+                  axis=-1)                                          # [B, N]
+    d_q = jnp.sum((q - jnp.take_along_axis(p, i_q[..., None], axis=1)) ** 2,
+                  axis=-1)
+    return jnp.sum(d_p, axis=1), jnp.sum(d_q, axis=1)
+
+
+def _run_fused_batched(p, q):
+    _, i_p, _, i_q = _chamfer_bidir_pallas_batched(
+        p, q, _use_dual_gram(), _use_bf16_gram(), _tile_q())
+    s_p, s_q = _exact_sums_batched(p, q, i_p, i_q)
+    return s_p, i_p, s_q, i_q
+
+
 @jax.custom_vjp
 def chamfer_sums_fused_batched(p: jnp.ndarray, q: jnp.ndarray):
     """Per-sample (sum_i min_j d [B], idx_p [B,N], sum_j min_i d [B], idx_q [B,M]).
@@ -295,13 +371,12 @@ def chamfer_sums_fused_batched(p: jnp.ndarray, q: jnp.ndarray):
     Batched analog of chamfer_sums_fused — one kernel launch for the whole
     batch; the backward is the same closed form vmapped over the batch.
     """
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q, _use_dual_gram())
-    return jnp.sum(d_p, axis=1), i_p, jnp.sum(d_q, axis=1), i_q
+    return _run_fused_batched(p, q)
 
 
 def _fwd_batched(p, q):
-    d_p, i_p, d_q, i_q = _chamfer_bidir_pallas_batched(p, q, _use_dual_gram())
-    return (jnp.sum(d_p, axis=1), i_p, jnp.sum(d_q, axis=1), i_q), (p, q, i_p, i_q)
+    s_p, i_p, s_q, i_q = _run_fused_batched(p, q)
+    return (s_p, i_p, s_q, i_q), (p, q, i_p, i_q)
 
 
 def _bwd_batched(res, cots):

@@ -220,8 +220,12 @@ def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
 def _chunking_active(B: int) -> bool:
     """The worker fault is specific to the XLA:TPU runtime (BUG_REPORT.md), so
     other backends keep the single fused program at any batch; tests force the
-    chunked path with MESHRCNN_FORCE_AGG_CHUNK=1."""
+    chunked path with MESHRCNN_FORCE_AGG_CHUNK=1. MESHRCNN_AGG_CHUNK_DISABLE=1
+    bypasses the guard entirely — diagnostics only (tools/agg_shape_matrix.py
+    maps the faulting shape envelope with it)."""
     import os
+    if os.environ.get("MESHRCNN_AGG_CHUNK_DISABLE", "0") == "1":
+        return False
     if os.environ.get("MESHRCNN_FORCE_AGG_CHUNK", "0") == "1":
         return B > _AGG_SAFE_BATCH
     return B > _AGG_SAFE_BATCH and jax.default_backend() == "tpu"

@@ -158,3 +158,56 @@ def test_dual_gram_matches_single_gram():
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
                                    rtol=1e-4, atol=1e-6)
         assert (np.asarray(ia) == np.asarray(ib)).mean() > 0.999
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernel requires TPU hardware")
+def test_bf16_gram_and_wide_qtile_variants():
+    """bf16-gram and wide-q-tile kernel variants agree with the default:
+    refined sums are exact given the assignment, so near-tie argmin flips move
+    the sum only by the tie gap (rtol 1e-4); argmins agree >= 99%."""
+    import os
+    from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused_batched
+
+    rng = np.random.RandomState(11)
+    p = jnp.asarray(rng.randn(2, 2000, 3).astype(np.float32) * 0.4)
+    q = jnp.asarray(rng.randn(2, 1500, 3).astype(np.float32) * 0.4)
+
+    def run():
+        return jax.jit(chamfer_sums_fused_batched)(p, q)
+
+    s_p, i_p, s_q, i_q = run()
+    for env, val in (("MESHRCNN_CHAMFER_BF16GRAM", "1"),
+                     ("MESHRCNN_CHAMFER_TILEQ", "1024")):
+        os.environ[env] = val
+        try:
+            v_p, vi_p, v_q, vi_q = run()
+        finally:
+            os.environ.pop(env)
+        np.testing.assert_allclose(float(v_p[0]), float(s_p[0]), rtol=1e-4)
+        np.testing.assert_allclose(float(v_q[0]), float(s_q[0]), rtol=1e-4)
+        assert (np.asarray(vi_p) == np.asarray(i_p)).mean() > 0.99, env
+        assert (np.asarray(vi_q) == np.asarray(i_q)).mean() > 0.99, env
+
+
+def test_exact_sums_match_dense_reference():
+    """_exact_sums* recompute chamfer sums from indices in difference form;
+    must equal the float64 dense reference given the same assignment."""
+    from meshrcnn_tpu.ops.chamfer_pallas import _exact_sums, _exact_sums_batched
+
+    rng = np.random.RandomState(3)
+    p64 = rng.randn(400, 3) * 0.3
+    q64 = rng.randn(300, 3) * 0.3
+    d = ((p64[:, None] - q64[None, :]) ** 2).sum(-1)
+    i_p, i_q = d.argmin(1), d.argmin(0)
+    want_p, want_q = d.min(1).sum(), d.min(0).sum()
+    s_p, s_q = _exact_sums(jnp.asarray(p64, jnp.float32),
+                           jnp.asarray(q64, jnp.float32),
+                           jnp.asarray(i_p, jnp.int32),
+                           jnp.asarray(i_q, jnp.int32))
+    np.testing.assert_allclose(float(s_p), want_p, rtol=1e-5)
+    np.testing.assert_allclose(float(s_q), want_q, rtol=1e-5)
+    sb_p, sb_q = _exact_sums_batched(
+        jnp.asarray(p64, jnp.float32)[None], jnp.asarray(q64, jnp.float32)[None],
+        jnp.asarray(i_p, jnp.int32)[None], jnp.asarray(i_q, jnp.int32)[None])
+    np.testing.assert_allclose(float(sb_p[0]), want_p, rtol=1e-5)
+    np.testing.assert_allclose(float(sb_q[0]), want_q, rtol=1e-5)

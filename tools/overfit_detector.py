@@ -37,7 +37,7 @@ def detection_metrics(eval_step, state, batches, rng):
     ap_box = ap_mask = iou_sum = valid_frac = 0.0
     n = 0
     for b in batches:
-        out = eval_step(state, b)
+        out = eval_step(state, jnp.asarray(b.images))
         det = out.detections
         B, D = det.valid.shape
         gt_b = jnp.asarray(b.boxes).reshape(B, 4)
