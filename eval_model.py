@@ -23,6 +23,11 @@ parser.add_argument("--threshold", "-th", type=float, default=0.2)
 parser.add_argument("--residual", default=False, action="store_true")
 parser.add_argument("--voxel_only", default=False, action="store_true",
                     help="evaluate only the voxel branch (matches --voxel_only training)")
+parser.add_argument("--synthetic_size", type=int, default=64,
+                    help="total size of the synthetic dataset (dataRoot="
+                         "synthetic); pass the SAME value train.py was given "
+                         "so the seed-42 split's test side is disjoint from "
+                         "the training indices")
 parser.add_argument("--test_ratio", type=float, default=1.0,
                     help="ratio of samples to test")
 parser.add_argument("-c", "--classes", type=str, default=None)
@@ -82,7 +87,7 @@ def main():
     num_classes = 10 if is_pix3d else 13
 
     if options.dataRoot == "synthetic":
-        dataset = SyntheticDataset(n=64,
+        dataset = SyntheticDataset(n=options.synthetic_size,
                                    image_size=options.img_size if is_pix3d else 137,
                                    num_voxels=32, num_classes=num_classes,
                                    pix3d=is_pix3d)

@@ -254,8 +254,11 @@ def _resize_sample(s: Sample, size: int) -> Sample:
     image[:nh, :nw] = resized
     boxes = s.boxes
     if boxes is not None:
-        # isotropic: the padded region is bottom/right, so no offset
-        boxes = np.clip(boxes * np.float32(scale), 0, size - 1).astype(np.float32)
+        # isotropic: the padded region is bottom/right, so no offset. Clip to
+        # [0, size] (not size-1): torchvision's clip_boxes_to_image allows
+        # x2/y2 == size, so a box touching the max-dim edge maps to exactly
+        # size under scale = size/max(h, w) and must not shrink by 1 px.
+        boxes = np.clip(boxes * np.float32(scale), 0, size).astype(np.float32)
     mask = s.mask
     if mask is not None:
         m = PIL.Image.fromarray((np.asarray(mask) > 0.5).astype(np.uint8) * 255)

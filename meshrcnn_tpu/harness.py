@@ -159,19 +159,26 @@ def _f1_distances(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_ma
     return nn(cloud_p, cloud_g), nn(cloud_g, cloud_p), valid_p & valid_g
 
 
-def _f1_terms(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_mask,
-              point_cloud_size, tile, taus):
-    """Per-tau (sum of per-sample F1, valid count) — the on-device form of the
-    host F1 accumulation loop (prec/rec are means over each sample's own cloud)."""
+def _f1_per_sample(key, verts, faces, faces_mask, gt_verts, gt_faces,
+                   gt_faces_mask, point_cloud_size, tile, taus):
+    """Per-sample point-cloud F1 at each tau: ([N, T] f1, [N] valid)."""
     d_p, d_g, valid = _f1_distances(key, verts, faces, faces_mask, gt_verts,
                                     gt_faces, gt_faces_mask, point_cloud_size, tile)
     f1s = []
     for tau in taus:
         thr = tau * tau
-        prec = jnp.mean((d_p < thr).astype(jnp.float32), axis=1)    # [B]
+        prec = jnp.mean((d_p < thr).astype(jnp.float32), axis=1)    # [N]
         rec = jnp.mean((d_g < thr).astype(jnp.float32), axis=1)
         f1s.append(2 * prec * rec / jnp.maximum(prec + rec, 1e-12))
-    f1 = jnp.stack(f1s, axis=1)                                      # [B, T]
+    return jnp.stack(f1s, axis=1), valid                             # [N, T], [N]
+
+
+def _f1_terms(key, verts, faces, faces_mask, gt_verts, gt_faces, gt_faces_mask,
+              point_cloud_size, tile, taus):
+    """Per-tau (sum of per-sample F1, valid count) — the on-device form of the
+    host F1 accumulation loop (prec/rec are means over each sample's own cloud)."""
+    f1, valid = _f1_per_sample(key, verts, faces, faces_mask, gt_verts, gt_faces,
+                               gt_faces_mask, point_cloud_size, tile, taus)
     return (jnp.sum(jnp.where(valid[:, None], f1, 0.0), axis=0),     # [T]
             jnp.sum(valid.astype(jnp.int32)))
 
@@ -206,15 +213,22 @@ def _shapenet_eval_metrics(key, out, gt_vox, gt_verts, gt_faces, gt_faces_mask,
 
 
 @partial(jax.jit, static_argnames=("point_cloud_size", "num_neighbours", "tile",
-                                   "taus", "voxel_only"))
+                                   "taus", "voxel_only", "ranked"))
 def _pix3d_eval_metrics(key, out, gt_boxes, gt_masks, gt_vox, gt_verts, gt_faces,
                         gt_faces_mask, point_cloud_size, num_neighbours, tile,
-                        taus, voxel_only):
+                        taus, voxel_only, ranked=False):
     """Pix3D per-batch eval metrics in one compiled program.
 
     Best-IoU detection selection (eval_utils.py:10-13), AP_box/AP_mask
     (metrics.py:31-53) with on-device mask pasting, slot-selected voxel + mesh
     losses and point-cloud F1 — one dispatch, scalar-sized host transfer.
+
+    With ``ranked=True`` the program additionally emits the per-detection-slot
+    records that true score-ranked AP needs (scores, labels, validity, box IoU,
+    pasted-mask IoU, and mesh F1@0.3 per slot) — [B, D]-sized, still a tiny
+    transfer. The host (validate_pix3d) accumulates these across the dataset
+    and computes class-mean ranked AP50_box/AP50_mask/AP_mesh alongside the
+    reference's precision@1 "AP_box"/"AP_mask".
     """
     from meshrcnn_tpu.ops.boxes import box_iou as box_iou_j
     from meshrcnn_tpu.utils.metrics import paste_mask_in_image_jax
@@ -246,6 +260,21 @@ def _pix3d_eval_metrics(key, out, gt_boxes, gt_masks, gt_vox, gt_verts, gt_faces
     union = jnp.maximum(jnp.sum(pm | gt_m, axis=(1, 2)), 1).astype(jnp.float32)
     res["ap_mask"] = jnp.mean(((inter / union) > 0.5).astype(jnp.float32))
 
+    if ranked:
+        # per-slot records for score-ranked AP (host-side accumulation)
+        res["det_scores"] = det.scores
+        res["det_labels"] = det.labels.astype(jnp.int32)
+        res["det_valid"] = det.valid
+        res["det_box_iou"] = ious                                    # [B, D]
+        pasted_all = jax.vmap(jax.vmap(
+            lambda m, bx: paste_mask_in_image_jax(m, bx, H, W)))(
+                out.mask_probs, det.boxes)                           # [B, D, H, W]
+        pa = pasted_all > 0
+        inter_a = jnp.sum(pa & gt_m[:, None], axis=(2, 3)).astype(jnp.float32)
+        union_a = jnp.maximum(jnp.sum(pa | gt_m[:, None], axis=(2, 3)),
+                              1).astype(jnp.float32)
+        res["det_mask_iou"] = inter_a / union_a
+
     # get_only_max analog: the best detection's mesh/voxel slot per image
     slot = ar * D + best
     res["voxel_loss"] = voxel_loss(out.voxels[slot], gt_vox)
@@ -263,6 +292,17 @@ def _pix3d_eval_metrics(key, out, gt_boxes, gt_masks, gt_vox, gt_verts, gt_faces
             jax.random.fold_in(key, 7), stage_verts[-1], mesh.faces,
             mesh.faces_mask, gt_verts, gt_faces, gt_faces_mask,
             point_cloud_size, tile, taus)
+        if ranked:
+            # paper AP_mesh criterion: per-detection mesh F1@0.3 (ICCV'19 §5);
+            # meshes live flat at [B*D], so tile each image's GT D times
+            rep = lambda x: jnp.repeat(x, D, axis=0)
+            f1bd, validbd = _f1_per_sample(
+                jax.random.fold_in(key, 11), out.stage_verts[-1],
+                out.mesh.faces, out.mesh.faces_mask, rep(gt_verts),
+                rep(gt_faces), rep(gt_faces_mask), point_cloud_size, tile,
+                (0.3,))
+            res["det_mesh_f1"] = jnp.where(validbd, f1bd[:, 0],
+                                           0.0).reshape(B, D)
     return res
 
 
@@ -338,7 +378,7 @@ def validate(epoch: int, eval_step: Callable, state, loader,
 def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
                    config: TrainConfig, num_classes: int, rng: jax.Array,
                    voxel_only: bool = False, f1_taus=(0.1, 0.3),
-                   print_freq: int = 10) -> dict:
+                   print_freq: int = 10, ranked_ap: bool = True) -> dict:
     """Pix3D dataset evaluation (reference: eval_utils.py:93-194, pix3d branch).
 
     Per image the best-IoU detection vs the GT box is selected (get_max_box /
@@ -350,9 +390,12 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     exactly ONE detection per image — the best-IoU one — so they are
     precision@1 at IoU 0.5, not the COCO-style ranked average precision the
     names suggest. The reference computes the same quantity under the same
-    names (eval_utils.py:103-130).
+    names (eval_utils.py:103-130). With ``ranked_ap=True`` (default) TRUE
+    score-ranked class-mean AP is additionally reported — AP50_box / AP50_mask
+    at IoU 0.5 and AP_mesh_ranked at mesh F1@0.3 > 0.5 (the paper's criterion)
+    — accumulated from per-slot records the fused device program emits.
     """
-    from meshrcnn_tpu.utils.metrics import mesh_precision_recall
+    from meshrcnn_tpu.utils.metrics import detection_map, mesh_precision_recall
 
     meters = gcn_metrics(voxel_only)
     meters["voxel_iou"] = AverageMeter("voxel_iou", ":.4f")
@@ -362,11 +405,16 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     taus = tuple(f1_taus)
     f1_sums = {t: 0.0 for t in taus}
     f1_count = 0
+    # flat per-detection accumulators for ranked AP (host-side, tiny)
+    det_records = {k: [] for k in ("scores", "labels", "image_ids", "box_iou",
+                                   "mask_iou", "mesh_f1")}
+    gt_labels_by_image: Dict[int, int] = {}
+    n_images = 0
     end = time.time()
 
     def drain(m_dev, labels, idx):
         # blocks on batch idx's device work; batch idx+1 is already enqueued
-        nonlocal f1_count, end
+        nonlocal f1_count, n_images, end
         m = jax.device_get(m_dev)
         meters["AP_box"].update(float(m["ap_box"]))
         meters["AP_mask"].update(float(m["ap_mask"]))
@@ -374,6 +422,21 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
         meters["voxel_iou"].update(float(m["voxel_iou"]))
         for p, t in zip(m["best_labels"], labels):
             confusion[int(t), int(p)] += 1
+        if ranked_ap:
+            valid = np.asarray(m["det_valid"], bool)         # [B, D]
+            B_, D_ = valid.shape
+            img_ids = np.broadcast_to(
+                (n_images + np.arange(B_))[:, None], (B_, D_))
+            for b in range(B_):
+                gt_labels_by_image[n_images + b] = int(labels[b])
+            det_records["scores"].append(np.asarray(m["det_scores"])[valid])
+            det_records["labels"].append(np.asarray(m["det_labels"])[valid])
+            det_records["image_ids"].append(img_ids[valid])
+            det_records["box_iou"].append(np.asarray(m["det_box_iou"])[valid])
+            det_records["mask_iou"].append(np.asarray(m["det_mask_iou"])[valid])
+            if not voxel_only:
+                det_records["mesh_f1"].append(np.asarray(m["det_mesh_f1"])[valid])
+        n_images += len(labels)
         if not voxel_only:
             meters["chamfer_loss"].update(float(m["chamfer_loss"]))
             meters["normal_loss"].update(float(m["normal_loss"]))
@@ -401,7 +464,7 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
             jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
             jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
             config.point_cloud_size, config.normal_k, config.distance_tile,
-            taus, voxel_only)
+            taus, voxel_only, ranked_ap)
         prev, pending = pending, (m_dev, np.asarray(batch.labels))
         if prev is not None:
             drain(*prev, i - 1)
@@ -412,6 +475,17 @@ def validate_pix3d(epoch: int, eval_step: Callable, state, loader,
     for beta, name in ((0.1, "f0_1"), (0.3, "f0_3"), (0.5, "f0_5")):
         results[name] = float(np.nanmean(f_score(confusion, beta=beta)))
     results["AP_mesh"] = mesh_precision_recall(confusion, f_score(confusion, 0.3))
+    if ranked_ap and gt_labels_by_image:
+        cat = {k: (np.concatenate(v) if v else np.zeros(0))
+               for k, v in det_records.items()}
+        common = (cat["scores"], cat["labels"], cat["image_ids"])
+        results["AP50_box"] = detection_map(
+            *common, cat["box_iou"], gt_labels_by_image)["mAP"]
+        results["AP50_mask"] = detection_map(
+            *common, cat["mask_iou"], gt_labels_by_image)["mAP"]
+        if not voxel_only:
+            results["AP_mesh_ranked"] = detection_map(
+                *common, cat["mesh_f1"], gt_labels_by_image)["mAP"]
     for tau in f1_taus:
         results[f"F1@{tau}"] = f1_sums[tau] / max(f1_count, 1)
     results["confusion"] = confusion

@@ -154,9 +154,23 @@ def _use_bf16_gram() -> bool:
 def _tile_q() -> int:
     """Q-axis tile width (MESHRCNN_CHAMFER_TILEQ, default TILE). Wider q tiles
     cut the revisited-minp traffic and the grid's per-cell overhead linearly in
-    J; VMEM holds ~3 [TILE, TILE_Q] f32 blocks, so 2048 is the practical max."""
+    J; VMEM holds ~3 [TILE, TILE_Q] f32 blocks, so 2048 is the practical max.
+
+    The value feeds BlockSpec lane widths directly, so it must be a positive
+    multiple of 128 (the TPU lane tiling) — anything else dies deep inside
+    Mosaic with an opaque compile error. Validate here with a clear message.
+    """
     import os
-    return int(os.environ.get("MESHRCNN_CHAMFER_TILEQ", str(TILE)))
+    raw = os.environ.get("MESHRCNN_CHAMFER_TILEQ", str(TILE))
+    try:
+        tile_q = int(raw)
+    except ValueError:
+        raise ValueError(f"MESHRCNN_CHAMFER_TILEQ={raw!r} is not an integer")
+    if tile_q < 128 or tile_q % 128 != 0:
+        raise ValueError(
+            f"MESHRCNN_CHAMFER_TILEQ={tile_q} must be a multiple of 128 and "
+            ">= 128 (TPU lane tiling; BlockSpec lane widths)")
+    return tile_q
 
 
 @partial(jax.jit, static_argnames=("dual", "bf16_gram", "tile_q"))

@@ -154,6 +154,85 @@ def calc_precision_mask(pred_masks, gt_masks, iou_thresh: float = 0.5) -> float:
     return hits / max(len(pred_masks), 1)
 
 
+def ranked_average_precision(scores, is_match, image_ids, num_gt) -> float:
+    """All-point interpolated AP of a score-ranked detection list.
+
+    ``is_match[i]`` says detection i passes the TP criterion against its own
+    image's single ground-truth object (this dataset family has exactly one GT
+    instance per image — reference data/dataloader.py:132-150). A GT can be
+    matched by at most one detection: the highest-scored matching one is the TP,
+    every later match on the same image is an FP (standard VOC/COCO duplicate
+    rule). AP integrates the precision envelope over recall (VOC 2010+ /
+    COCO-without-101-point-quantization convention).
+
+    This is the true ranked AP the reference's "AP_box"/"AP_mask" names suggest
+    but don't compute (reference metrics.py:31-53 is precision@1 on the best-IoU
+    detection; kept separately for behavioural parity).
+    """
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    is_match = np.asarray(is_match, dtype=bool).reshape(-1)
+    image_ids = np.asarray(image_ids).reshape(-1)
+    if num_gt <= 0:
+        return float("nan")
+    if scores.size == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    seen: set = set()
+    tp = np.zeros(order.size, dtype=np.float64)
+    for r, i in enumerate(order):
+        img = image_ids[i]
+        if is_match[i] and img not in seen:
+            seen.add(img)
+            tp[r] = 1.0
+    ctp = np.cumsum(tp)
+    recall = ctp / num_gt
+    precision = ctp / np.arange(1, order.size + 1)
+    # precision envelope: p(r) = max precision at recall >= r
+    for k in range(precision.size - 2, -1, -1):
+        precision[k] = max(precision[k], precision[k + 1])
+    # integrate over recall steps (recall only moves where tp == 1)
+    prev_r = 0.0
+    ap = 0.0
+    for k in range(order.size):
+        if tp[k]:
+            ap += (recall[k] - prev_r) * precision[k]
+            prev_r = recall[k]
+    return float(ap)
+
+
+def detection_map(scores, pred_labels, image_ids, criterion,
+                  gt_labels_by_image, thresh: float = 0.5) -> dict:
+    """Class-mean ranked AP (mAP@thresh) over a whole eval run.
+
+    Inputs are flat per-detection arrays: ``criterion`` is the match quantity
+    (box IoU for AP_box, pasted-mask IoU for AP_mask, point-cloud F1@0.3 for the
+    paper's AP_mesh — Mesh R-CNN ICCV'19 §5 scores a detection as TP when its
+    mesh F1@0.3 exceeds 0.5). A detection matches when criterion > thresh AND
+    its predicted class equals its image's GT class; AP is computed per class
+    over that class's detections and GT images, then averaged over classes with
+    at least one GT (COCO convention). Returns {"mAP": float, "per_class": {c: ap}}.
+    """
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    pred_labels = np.asarray(pred_labels).reshape(-1)
+    image_ids = np.asarray(image_ids).reshape(-1)
+    criterion = np.asarray(criterion, dtype=np.float64).reshape(-1)
+    gt_labels_by_image = dict(gt_labels_by_image)
+
+    per_class = {}
+    classes = sorted({int(v) for v in gt_labels_by_image.values()})
+    for c in classes:
+        num_gt = sum(1 for v in gt_labels_by_image.values() if int(v) == c)
+        sel = pred_labels == c
+        match = (criterion[sel] > thresh) & np.asarray(
+            [int(gt_labels_by_image[i]) == c for i in image_ids[sel]], dtype=bool
+        ) if sel.any() else np.zeros(0, bool)
+        per_class[c] = ranked_average_precision(
+            scores[sel], match, image_ids[sel], num_gt)
+    valid = [v for v in per_class.values() if not np.isnan(v)]
+    return {"mAP": float(np.mean(valid)) if valid else 0.0,
+            "per_class": per_class}
+
+
 def mesh_precision_recall(confusion, f1_scores, f1_thresh: float = 0.5) -> float:
     """AUC of per-class precision vs recall with TPs zeroed where the (confusion-
     based) f1 score <= thresh (reference: metrics.py:56-62, sklearn auc; the

@@ -161,11 +161,10 @@ def test_dual_gram_matches_single_gram():
 
 
 @pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernel requires TPU hardware")
-def test_bf16_gram_and_wide_qtile_variants():
+def test_bf16_gram_and_wide_qtile_variants(monkeypatch):
     """bf16-gram and wide-q-tile kernel variants agree with the default:
     refined sums are exact given the assignment, so near-tie argmin flips move
     the sum only by the tie gap (rtol 1e-4); argmins agree >= 99%."""
-    import os
     from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused_batched
 
     rng = np.random.RandomState(11)
@@ -178,15 +177,27 @@ def test_bf16_gram_and_wide_qtile_variants():
     s_p, i_p, s_q, i_q = run()
     for env, val in (("MESHRCNN_CHAMFER_BF16GRAM", "1"),
                      ("MESHRCNN_CHAMFER_TILEQ", "1024")):
-        os.environ[env] = val
-        try:
+        with monkeypatch.context() as m:
+            m.setenv(env, val)
             v_p, vi_p, v_q, vi_q = run()
-        finally:
-            os.environ.pop(env)
-        np.testing.assert_allclose(float(v_p[0]), float(s_p[0]), rtol=1e-4)
-        np.testing.assert_allclose(float(v_q[0]), float(s_q[0]), rtol=1e-4)
+        for b in range(p.shape[0]):
+            np.testing.assert_allclose(float(v_p[b]), float(s_p[b]), rtol=1e-4)
+            np.testing.assert_allclose(float(v_q[b]), float(s_q[b]), rtol=1e-4)
         assert (np.asarray(vi_p) == np.asarray(i_p)).mean() > 0.99, env
         assert (np.asarray(vi_q) == np.asarray(i_q)).mean() > 0.99, env
+
+
+def test_tileq_env_validation(monkeypatch):
+    """MESHRCNN_CHAMFER_TILEQ must fail fast with a clear message instead of
+    an opaque Mosaic compile error (ADVICE r4)."""
+    from meshrcnn_tpu.ops.chamfer_pallas import _tile_q
+
+    for bad in ("100", "0", "-128", "129", "abc"):
+        monkeypatch.setenv("MESHRCNN_CHAMFER_TILEQ", bad)
+        with pytest.raises(ValueError, match="MESHRCNN_CHAMFER_TILEQ"):
+            _tile_q()
+    monkeypatch.setenv("MESHRCNN_CHAMFER_TILEQ", "1024")
+    assert _tile_q() == 1024
 
 
 def test_exact_sums_match_dense_reference():

@@ -208,3 +208,112 @@ def test_pix3d_eval_metrics_match_host_recomputation():
     assert int(m["f1_count"]) == count
     for j, tau in enumerate(taus):
         assert np.allclose(m["f1_sum"][j], f1_sums[tau], rtol=1e-4, atol=1e-6)
+
+
+def test_ranked_average_precision_hand_fixture():
+    """Hand-computed all-point AP: envelope interpolation + the one-match-per-GT
+    duplicate rule (VOC/COCO convention)."""
+    from meshrcnn_tpu.utils.metrics import ranked_average_precision
+
+    # ranks: TP(img0), FP, TP(img1), TP(img2) over 3 GT images
+    # recall 1/3, 1/3, 2/3, 1; precision 1, 1/2, 2/3, 3/4; envelope 1,.75,.75,.75
+    # AP = 1/3*1 + 1/3*0.75 + 1/3*0.75 = 0.8333...
+    ap = ranked_average_precision(
+        scores=[0.9, 0.8, 0.7, 0.6], is_match=[True, False, True, True],
+        image_ids=[0, 1, 1, 2], num_gt=3)
+    assert np.isclose(ap, 1 / 3 + 0.25 + 0.25)
+
+    # duplicate rule: both detections match image 0 but only the higher-scored
+    # one is a TP; the second is an FP and does not raise recall
+    ap = ranked_average_precision([0.9, 0.8], [True, True], [0, 0], num_gt=1)
+    assert np.isclose(ap, 1.0)
+    # and the duplicate really costs precision when it outranks a real match
+    ap = ranked_average_precision([0.9, 0.8, 0.7], [True, True, True],
+                                  [0, 0, 1], num_gt=2)
+    # ranks: TP, FP(dup), TP -> recall .5, .5, 1; prec 1, .5, 2/3; env 1, 2/3, 2/3
+    assert np.isclose(ap, 0.5 * 1.0 + 0.5 * (2 / 3))
+
+    assert ranked_average_precision([], [], [], num_gt=5) == 0.0
+    assert np.isnan(ranked_average_precision([0.5], [True], [0], num_gt=0))
+    # perfect detector
+    assert np.isclose(ranked_average_precision(
+        [0.9, 0.8], [True, True], [0, 1], num_gt=2), 1.0)
+
+
+def test_detection_map_per_class():
+    """Class-mean mAP: a detection only matches when its predicted class equals
+    the image's GT class; classes average independently."""
+    from meshrcnn_tpu.utils.metrics import detection_map
+
+    gt = {0: 1, 1: 1, 2: 2}  # images 0,1 are class 1; image 2 is class 2
+    # class 1: det on img0 (iou .9, correct class) + det on img1 predicted as
+    # class 2 (iou .9, WRONG class -> counts under class 2 as FP)
+    out = detection_map(
+        scores=[0.9, 0.8, 0.7],
+        pred_labels=[1, 2, 2],
+        image_ids=[0, 1, 2],
+        criterion=[0.9, 0.9, 0.6],
+        gt_labels_by_image=gt)
+    # class 1: one TP of two GT -> recall caps at .5, precision 1 -> AP = .5
+    assert np.isclose(out["per_class"][1], 0.5)
+    # class 2: ranked [FP(img1 wrong-class), TP(img2)] -> AP = 1*0.5? no:
+    # recall after TP = 1/1, precision at that rank = 1/2; envelope = .5
+    assert np.isclose(out["per_class"][2], 0.5)
+    assert np.isclose(out["mAP"], 0.5)
+
+    # criterion below threshold -> no match
+    out = detection_map([0.9], [1], [0], [0.4], {0: 1})
+    assert out["mAP"] == 0.0
+
+
+def test_pix3d_eval_metrics_ranked_records():
+    """ranked=True emits per-slot records equal to a host recomputation: box
+    IoU vs the image GT, pasted-mask IoU per slot, and mesh F1@0.3 shapes."""
+    from meshrcnn_tpu.harness import _pix3d_eval_metrics
+    from meshrcnn_tpu.models.pix3d import Pix3DModel
+    from meshrcnn_tpu.parallel.train_step import create_train_state, make_eval_step
+    from meshrcnn_tpu.utils.metrics import box_iou as np_box_iou
+
+    model = Pix3DModel(**P3D_TINY)
+    config = tiny_config()
+    batch = p3d_tiny_batch()
+    state = create_train_state(model, config, jax.random.PRNGKey(0), batch.images)
+    out = make_eval_step(model)(state, jnp.asarray(batch.images))
+    key = jax.random.PRNGKey(9)
+    B = batch.images.shape[0]
+    H = W = batch.images.shape[1]
+    D = out.detections.boxes.shape[1]
+
+    m = jax.device_get(_pix3d_eval_metrics(
+        key, out, jnp.asarray(batch.boxes), jnp.asarray(batch.masks),
+        jnp.asarray(batch.voxels), jnp.asarray(batch.gt_verts),
+        jnp.asarray(batch.gt_faces), jnp.asarray(batch.gt_faces_mask),
+        config.point_cloud_size, config.normal_k, config.distance_tile,
+        (0.1, 0.3), False, True))
+
+    for k, dt in (("det_scores", None), ("det_labels", np.int32),
+                  ("det_box_iou", None), ("det_mask_iou", None),
+                  ("det_mesh_f1", None)):
+        assert m[k].shape == (B, D), k
+    assert m["det_valid"].shape == (B, D)
+
+    det_boxes = np.asarray(out.detections.boxes)
+    det_valid = np.asarray(out.detections.valid)
+    gt_boxes = np.asarray(batch.boxes).reshape(B, 4)
+    gt_masks = np.asarray(batch.masks) > 0.5
+    mask_probs = np.asarray(out.mask_probs)
+    for b in range(B):
+        ious = np_box_iou(det_boxes[b], gt_boxes[b][None])[:, 0]
+        ious = np.where(det_valid[b], ious, -1.0)
+        np.testing.assert_allclose(m["det_box_iou"][b], ious, rtol=1e-5,
+                                   atol=1e-6)
+        for d in range(D):
+            pasted = np.asarray(paste_mask_in_image_jax(
+                jnp.asarray(mask_probs[b, d]), jnp.asarray(det_boxes[b, d]),
+                H, W)) > 0
+            inter = np.logical_and(pasted, gt_masks[b]).sum()
+            union = max(np.logical_or(pasted, gt_masks[b]).sum(), 1)
+            np.testing.assert_allclose(m["det_mask_iou"][b, d], inter / union,
+                                       rtol=1e-5, atol=1e-6)
+    # mesh F1 is in [0, 1] and zero wherever sampling was invalid
+    assert (m["det_mesh_f1"] >= 0).all() and (m["det_mesh_f1"] <= 1 + 1e-6).all()

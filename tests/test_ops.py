@@ -699,12 +699,11 @@ def test_aggregate_bf16_close_and_self_adjoint():
 
 @pytest.mark.skipif(jax.default_backend() != "tpu",
                     reason="matmul precision only differs on TPU")
-def test_cumsum_high_vs_highest_segment_sums_tpu():
+def test_cumsum_high_vs_highest_segment_sums_tpu(monkeypatch):
     """The prefix-sum matmul's HIGH default (graph_conv._cumsum_precision) must
     track HIGHEST within f32 round-off at realistic aggregation magnitudes —
     the TPU-visible bound backing the default (ADVICE r3: CPU ignores
     precision, so only a TPU-marked test can catch a regression)."""
-    import os
     from meshrcnn_tpu.ops.graph_conv import aggregate_neighbours, precompute_adjacency
 
     rng = np.random.RandomState(0)
@@ -720,13 +719,10 @@ def test_cumsum_high_vs_highest_segment_sums_tpu():
         return np.asarray(jax.jit(lambda f: aggregate_neighbours(f, topo))(
             jnp.asarray(feats)))
 
-    assert os.environ.get("MESHRCNN_CUMSUM_PRECISION", "high") == "high"
+    monkeypatch.setenv("MESHRCNN_CUMSUM_PRECISION", "high")
     got_high = run()
-    os.environ["MESHRCNN_CUMSUM_PRECISION"] = "highest"
-    try:
-        got_highest = run()
-    finally:
-        os.environ.pop("MESHRCNN_CUMSUM_PRECISION")
+    monkeypatch.setenv("MESHRCNN_CUMSUM_PRECISION", "highest")
+    got_highest = run()
     # per-vertex neighbour sums are O(deg~4) values of O(1): absolute 1e-3
     # leaves ~100x headroom over bf16-3-pass round-off at the cumsum scale
     err = np.abs(got_high - got_highest)

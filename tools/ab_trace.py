@@ -39,6 +39,13 @@ VARIANTS = [
     ("cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
     ("agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
+    # round-4 chamfer kernel variants (PERFORMANCE.md round 4; sums are exact
+    # regardless of gram precision, so these only move near-tie argmins)
+    ("chamfer_bf16gram", {"MESHRCNN_CHAMFER_BF16GRAM": "1"}, {}),
+    ("chamfer_tileq1024", {"MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
+    ("chamfer_tileq2048", {"MESHRCNN_CHAMFER_TILEQ": "2048"}, {}),
+    ("chamfer_bf16_tileq1024", {"MESHRCNN_CHAMFER_BF16GRAM": "1",
+                                "MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
 ]
 
 BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
@@ -48,7 +55,8 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
             "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32",
             "MESHRCNN_CUMSUM_PRECISION": "HIGH", "MESHRCNN_PACKED_TOPO": "1",
-            "MESHRCNN_AGG_BF16": "0"}
+            "MESHRCNN_AGG_BF16": "0", "MESHRCNN_CHAMFER_BF16GRAM": "0",
+            "MESHRCNN_CHAMFER_TILEQ": "512"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -64,6 +72,13 @@ PIX3D_VARIANTS = [
     ("p3_cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("p3_argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
     ("p3_agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
+    # round-4 chamfer kernel variants — the ~25 ms/step chamfer cost lives on
+    # this step (3 stages x B=4 at 10k x 10k clouds)
+    ("p3_chamfer_bf16gram", {"MESHRCNN_CHAMFER_BF16GRAM": "1"}, {}),
+    ("p3_chamfer_tileq1024", {"MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
+    ("p3_chamfer_tileq2048", {"MESHRCNN_CHAMFER_TILEQ": "2048"}, {}),
+    ("p3_chamfer_bf16_tileq1024", {"MESHRCNN_CHAMFER_BF16GRAM": "1",
+                                   "MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
 ]
 
 

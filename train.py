@@ -40,6 +40,13 @@ parser.add_argument("--backbone", type=float, default=1.0, help="backbone loss w
 # dataset/loader args (reference: train.py:54-68)
 parser.add_argument("--num_sampels", type=int, default=None,
                     help="number of samples to take from the dataset")
+parser.add_argument("--synthetic_size", type=int, default=None,
+                    help="total size of the synthetic dataset (dataRoot="
+                         "synthetic). Set it LARGER than --num_sampels to "
+                         "leave genuinely held-out samples for eval_model.py "
+                         "run with the same --synthetic_size: both CLIs then "
+                         "share one seed-42 shuffle, train takes the first "
+                         "num_sampels indices and eval's test split the rest")
 parser.add_argument("--train_ratio", type=float, default=None,
                     help="ratio of samples used for training")
 parser.add_argument("-c", "--classes", type=str, default=None,
@@ -144,7 +151,9 @@ def main():
 
     num_voxels = 24 if is_pix3d else 48
     if options.dataRoot == "synthetic":
-        dataset = SyntheticDataset(n=max(options.num_sampels or 64, options.batchSize),
+        dataset = SyntheticDataset(n=max(options.synthetic_size
+                                         or options.num_sampels or 64,
+                                         options.batchSize),
                                    image_size=137 if not is_pix3d else options.img_size,
                                    num_voxels=32,
                                    num_classes=10 if is_pix3d else 13,
