@@ -146,9 +146,12 @@ def _use_bf16_gram() -> bool:
     """Trace-time gate: bf16 distance grams in the chamfer kernel
     (MESHRCNN_CHAMFER_BF16GRAM). Safe for loss values because the sums are
     recomputed exactly from the argmin indices (_exact_sums); only near-tie
-    argmin selection can differ. Default off pending the A/B + parity record."""
+    argmin selection can differ. Default ON since round 5: the same-session
+    A/B measured −15.4 ms on the Pix3D recipe step and −11.6 ms on ShapeNet
+    (PERFORMANCE.md round 5), and the learning-parity run (PARITY.md round 5,
+    tools/agg_bf16_parity.py) cleared it; =0 restores the f32 HIGHEST gram."""
     import os
-    return os.environ.get("MESHRCNN_CHAMFER_BF16GRAM", "0") == "1"
+    return os.environ.get("MESHRCNN_CHAMFER_BF16GRAM", "1") == "1"
 
 
 def _tile_q() -> int:
@@ -159,9 +162,13 @@ def _tile_q() -> int:
     The value feeds BlockSpec lane widths directly, so it must be a positive
     multiple of 128 (the TPU lane tiling) — anything else dies deep inside
     Mosaic with an opaque compile error. Validate here with a clear message.
+
+    Default 1024 since round 5: alone it is noise, but on top of the bf16 gram
+    it is a consistent further −1.3 ms on the Pix3D step and −0.7 ms on
+    ShapeNet (PERFORMANCE.md round 5 A/B tables).
     """
     import os
-    raw = os.environ.get("MESHRCNN_CHAMFER_TILEQ", str(TILE))
+    raw = os.environ.get("MESHRCNN_CHAMFER_TILEQ", "1024")
     try:
         tile_q = int(raw)
     except ValueError:

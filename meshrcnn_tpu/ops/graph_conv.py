@@ -202,10 +202,17 @@ def _agg_bf16() -> bool:
     MXU pass (bf16 x bf16 products are exact, accumulation stays f32 via
     preferred_element_type). Cost: contributions round to bf16 (~4e-3
     relative) before summation — the same noise class as the bf16 conv
-    stacks. Default OFF pending a parity run; MESHRCNN_AGG_BF16=1 enables.
+    stacks. Default ON on TPU since round 5: measured −7.3 ms on the ShapeNet
+    step (PERFORMANCE.md round 3) and cleared by the learning-parity protocol
+    (PARITY.md round 5: the combined bf16 arm tracks the f32 baseline's
+    trajectory within the baseline's own seed-to-seed noise floor).
+    MESHRCNN_AGG_BF16=0 restores f32 aggregation; other backends keep f32
+    (the win is TPU HBM bandwidth, and CPU tests/oracles stay exact — the
+    same backend-gating as MESHRCNN_MXU_SCATTER).
     """
     import os
-    return os.environ.get("MESHRCNN_AGG_BF16", "0") == "1"
+    default = "1" if jax.default_backend() == "tpu" else "0"
+    return os.environ.get("MESHRCNN_AGG_BF16", default) == "1"
 
 
 def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:

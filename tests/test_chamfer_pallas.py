@@ -162,9 +162,11 @@ def test_dual_gram_matches_single_gram():
 
 @pytest.mark.skipif(not ON_TPU, reason="Pallas TPU kernel requires TPU hardware")
 def test_bf16_gram_and_wide_qtile_variants(monkeypatch):
-    """bf16-gram and wide-q-tile kernel variants agree with the default:
-    refined sums are exact given the assignment, so near-tie argmin flips move
-    the sum only by the tie gap (rtol 1e-4); argmins agree >= 99%."""
+    """bf16-gram and wide-q-tile kernel variants agree with the f32 reference
+    body: refined sums are exact given the assignment, so near-tie argmin flips
+    move the sum only by the tie gap (rtol 1e-4); argmins agree >= 99%. The
+    reference arm pins MESHRCNN_CHAMFER_BF16GRAM=0 / TILEQ=512 explicitly —
+    bf16 gram + tile_q 1024 became the DEFAULT in round 5."""
     from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused_batched
 
     rng = np.random.RandomState(11)
@@ -174,11 +176,18 @@ def test_bf16_gram_and_wide_qtile_variants(monkeypatch):
     def run():
         return jax.jit(chamfer_sums_fused_batched)(p, q)
 
-    s_p, i_p, s_q, i_q = run()
-    for env, val in (("MESHRCNN_CHAMFER_BF16GRAM", "1"),
-                     ("MESHRCNN_CHAMFER_TILEQ", "1024")):
+    with monkeypatch.context() as m:
+        m.setenv("MESHRCNN_CHAMFER_BF16GRAM", "0")
+        m.setenv("MESHRCNN_CHAMFER_TILEQ", "512")
+        s_p, i_p, s_q, i_q = run()
+    for env in ({"MESHRCNN_CHAMFER_BF16GRAM": "1",
+                 "MESHRCNN_CHAMFER_TILEQ": "512"},
+                {"MESHRCNN_CHAMFER_BF16GRAM": "0",
+                 "MESHRCNN_CHAMFER_TILEQ": "1024"},
+                {}):  # {} = the shipped default (bf16 gram + tile_q 1024)
         with monkeypatch.context() as m:
-            m.setenv(env, val)
+            for k, v in env.items():
+                m.setenv(k, v)
             v_p, vi_p, v_q, vi_q = run()
         for b in range(p.shape[0]):
             np.testing.assert_allclose(float(v_p[b]), float(s_p[b]), rtol=1e-4)

@@ -146,6 +146,15 @@ def test_dp_eval_matches_single_device():
             assert (r1[k] == r2[k]).all()
         elif k in ("batch_time", "data_loading", "warmup_time"):
             continue
+        elif k.startswith("F1@"):
+            # F1@tau is DISCRETE: each of the 64 sampled points either clears
+            # tau or not, so a single knife-edge point whose f32 distance
+            # differs in the last ulp between batch partitionings moves one
+            # sample's precision by 1/64 and the 16-sample mean by ~1e-3.
+            # Allow up to 4 such flips (each ~1/(64*16) on the mean);
+            # everything continuous stays at the tight tolerance below.
+            assert np.isclose(r1[k], r2[k], atol=4.0 / (64 * 16)), \
+                f"{k}: {r1[k]} vs {r2[k]}"
         else:
             assert np.isclose(r1[k], r2[k], rtol=1e-3, atol=1e-4), \
                 f"{k}: {r1[k]} vs {r2[k]}"

@@ -38,9 +38,10 @@ VARIANTS = [
      {"report_unweighted": True}),
     ("cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
-    ("agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
-    # round-4 chamfer kernel variants (PERFORMANCE.md round 4; sums are exact
-    # regardless of gram precision, so these only move near-tie argmins)
+    # reverse arms of the round-5 default flips (A/B tables, PERFORMANCE.md r5)
+    ("agg_f32", {"MESHRCNN_AGG_BF16": "0"}, {}),
+    ("chamfer_f32gram", {"MESHRCNN_CHAMFER_BF16GRAM": "0"}, {}),
+    ("chamfer_tileq512", {"MESHRCNN_CHAMFER_TILEQ": "512"}, {}),
     ("chamfer_bf16gram", {"MESHRCNN_CHAMFER_BF16GRAM": "1"}, {}),
     ("chamfer_tileq1024", {"MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
     ("chamfer_tileq2048", {"MESHRCNN_CHAMFER_TILEQ": "2048"}, {}),
@@ -55,8 +56,9 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
             "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32",
             "MESHRCNN_CUMSUM_PRECISION": "HIGH", "MESHRCNN_PACKED_TOPO": "1",
-            "MESHRCNN_AGG_BF16": "0", "MESHRCNN_CHAMFER_BF16GRAM": "0",
-            "MESHRCNN_CHAMFER_TILEQ": "512"}
+            # round-5 defaults (flipped after the A/B + parity clearance):
+            "MESHRCNN_AGG_BF16": "1", "MESHRCNN_CHAMFER_BF16GRAM": "1",
+            "MESHRCNN_CHAMFER_TILEQ": "1024"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
 # live in the recipe step — unlike ShapeNet, where it is elided at weight 0)
@@ -71,7 +73,9 @@ PIX3D_VARIANTS = [
     ("p3_pca_normals", {"MESHRCNN_FACE_NORMALS": "0"}, {}),
     ("p3_cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("p3_argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
-    ("p3_agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
+    ("p3_agg_f32", {"MESHRCNN_AGG_BF16": "0"}, {}),
+    ("p3_chamfer_f32gram", {"MESHRCNN_CHAMFER_BF16GRAM": "0"}, {}),
+    ("p3_chamfer_tileq512", {"MESHRCNN_CHAMFER_TILEQ": "512"}, {}),
     # round-4 chamfer kernel variants — the ~25 ms/step chamfer cost lives on
     # this step (3 stages x B=4 at 10k x 10k clouds)
     ("p3_chamfer_bf16gram", {"MESHRCNN_CHAMFER_BF16GRAM": "1"}, {}),

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--n", type=int, default=240)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--arms", nargs="*", default=None)
+    ap.add_argument("--seed", type=int, default=1,
+                    help="training rng seed (vary to measure the baseline's "
+                         "own run-to-run noise floor for trajectory deltas)")
     args = ap.parse_args()
 
     from meshrcnn_tpu.utils.cache import enable_compilation_cache
@@ -93,7 +96,7 @@ def main():
                                    np.asarray(train_batches[0].images))
         step = jax.jit(make_train_step(model, config), donate_argnums=(0,))
         eval_step = jax.jit(make_eval_step(model))
-        k = jax.random.PRNGKey(1)
+        k = jax.random.PRNGKey(args.seed)
         epochs = []
         for e in range(args.epochs):
             sums, cnt = {}, 0
