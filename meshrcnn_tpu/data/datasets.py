@@ -196,6 +196,12 @@ class SyntheticDataset:
     def __len__(self) -> int:
         return self.n
 
+    # label-keyed object colors, fixed across samples: every task head gets a
+    # LEARNABLE signal (round-5 fix — labels used to be random draws that no
+    # classifier could predict from the image, capping confusion f-scores at
+    # chance and class-aware ranked AP at ~1/C on synthetic end-to-end runs)
+    _PALETTE = np.random.RandomState(20240819).rand(64, 3) * 0.7 + 0.3
+
     def __getitem__(self, idx: int) -> Sample:
         rng = np.random.RandomState(self.seed * 100003 + idx)
         H = self.image_size
@@ -215,17 +221,26 @@ class SyntheticDataset:
                           [0, 2, 4], [2, 6, 4], [1, 5, 3], [3, 5, 7]],
                          dtype=np.int64)
         if not self.pix3d:
+            # label = cuboid size bucket; the cuboid's projected footprint is
+            # painted into the image (brightness encodes its extent), so both
+            # the classifier and the voxel branch have real signal
+            label = min((b - a - 1) * self.num_classes // (V - 3),
+                        self.num_classes - 1)
+            s0, s1 = int(a * H / V), max(int(b * H / V), int(a * H / V) + 1)
+            image[s0:s1, s0:s1] = (0.35 + 0.6 * (b - a) / V) * self._PALETTE[label]
             return Sample(image=image, voxels=voxels, mesh=Mesh(verts, faces),
-                          label=int(rng.randint(0, self.num_classes)))
-        # paint a bright object square; its bbox + mask are the targets
+                          label=int(label))
+        # paint an object square whose COLOR is keyed by the class label (so
+        # classification is learnable); its bbox + mask are the targets
         x1, y1 = rng.randint(4, H // 2, 2).tolist()
         w, h = rng.randint(H // 4, H // 2, 2).tolist()
         x2, y2 = min(x1 + w, H - 2), min(y1 + h, H - 2)
-        image[y1:y2, x1:x2] = rng.rand(3).astype(np.float32) * 0.5 + 0.5
+        label = int(rng.randint(1, max(self.num_classes, 2)))  # 1-based fg class
+        shade = 0.75 + 0.25 * rng.rand()
+        image[y1:y2, x1:x2] = shade * self._PALETTE[label].astype(np.float32)
         mask = np.zeros((H, H), dtype=np.float32)
         mask[y1:y2, x1:x2] = 1.0
         boxes = np.asarray([[x1, y1, x2, y2]], dtype=np.float32)
-        label = int(rng.randint(1, max(self.num_classes, 2)))  # 1-based fg class
         return Sample(image=image, voxels=voxels, mesh=Mesh(verts, faces),
                       label=label, boxes=boxes, mask=mask)
 

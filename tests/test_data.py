@@ -282,3 +282,36 @@ def test_letterbox_preserves_aspect_and_geometry():
     sq = Sample(image=np.ones((size, size, 3), np.float32),
                 voxels=s.voxels, mesh=s.mesh, label=1)
     assert _resize_sample(sq, size) is sq
+
+
+def test_synthetic_labels_are_learnable_from_image():
+    """Round-5 fix: synthetic labels must be a deterministic function of image
+    content (color-keyed object square for pix3d, size bucket + painted
+    footprint for shapenet) — random labels capped classification at chance
+    and class-aware ranked AP at ~1/C in end-to-end synthetic runs."""
+    ds = SyntheticDataset(n=64, image_size=64, num_voxels=16, num_classes=10,
+                          pix3d=True)
+    by_label = {}
+    for i in range(64):
+        s = ds[i]
+        x1, y1, x2, y2 = [int(v) for v in s.boxes[0]]
+        # object pixels all share one color ray (shade * palette[label])
+        patch = s.image[y1:y2, x1:x2].reshape(-1, 3)
+        direction = patch / np.linalg.norm(patch, axis=1, keepdims=True)
+        assert np.allclose(direction, direction[0], atol=1e-5)
+        by_label.setdefault(s.label, []).append(direction[0])
+    assert len(by_label) > 3  # several classes appear
+    for lab, dirs in by_label.items():
+        for d in dirs:  # same label -> same color direction
+            assert np.allclose(d, dirs[0], atol=1e-5)
+    labs = sorted(by_label)
+    for i, j in zip(labs, labs[1:]):  # different labels -> different colors
+        assert not np.allclose(by_label[i][0], by_label[j][0], atol=1e-2)
+
+    ds_sn = SyntheticDataset(n=32, image_size=64, num_voxels=16, num_classes=13)
+    for i in range(32):
+        s = ds_sn[i]
+        occ = np.asarray(s.voxels).sum(axis=(1, 2))
+        extent = int((occ > 0).sum())
+        want = min((extent - 1) * 13 // 13, 12)
+        assert s.label == want

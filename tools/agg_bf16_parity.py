@@ -35,6 +35,9 @@ ARMS = [
     # the full prospective round-5 default set (agg bf16 + chamfer variants)
     ("combo", {"MESHRCNN_AGG_BF16": "1", "MESHRCNN_CHAMFER_BF16GRAM": "1",
                "MESHRCNN_CHAMFER_TILEQ": "1024"}),
+    # chamfer variants alone (isolates the gram/tiling change from AGG_BF16)
+    ("chamfer_only", {"MESHRCNN_AGG_BF16": "0", "MESHRCNN_CHAMFER_BF16GRAM": "1",
+                      "MESHRCNN_CHAMFER_TILEQ": "1024"}),
 ]
 
 
@@ -91,6 +94,11 @@ def main():
         if args.arms and name not in args.arms:
             continue
         os.environ.update(env)
+        # the fused metrics program is a module-level jit: clear it so each
+        # arm's heldout eval traces under ITS env (the kernel gates are read
+        # at trace time; a warm cache would silently reuse the first arm's)
+        if hasattr(_shapenet_eval_metrics, "clear_cache"):
+            _shapenet_eval_metrics.clear_cache()
         t0 = time.time()
         state = create_train_state(model, config, jax.random.PRNGKey(0),
                                    np.asarray(train_batches[0].images))
