@@ -144,14 +144,17 @@ def _use_dual_gram() -> bool:
 
 def _use_bf16_gram() -> bool:
     """Trace-time gate: bf16 distance grams in the chamfer kernel
-    (MESHRCNN_CHAMFER_BF16GRAM). Safe for loss values because the sums are
+    (MESHRCNN_CHAMFER_BF16GRAM). Loss VALUES are safe because the sums are
     recomputed exactly from the argmin indices (_exact_sums); only near-tie
-    argmin selection can differ. Default ON since round 5: the same-session
-    A/B measured −15.4 ms on the Pix3D recipe step and −11.6 ms on ShapeNet
-    (PERFORMANCE.md round 5), and the learning-parity run (PARITY.md round 5,
-    tools/agg_bf16_parity.py) cleared it; =0 restores the f32 HIGHEST gram."""
+    argmin selection differs (~1% of assignments). Measured −15.4 ms on the
+    Pix3D recipe step / −11.6 ms on ShapeNet (PERFORMANCE.md round 5) — but
+    REJECTED as a default: the mis-assignments feed the chamfer GRADIENT, and
+    models trained with them lose fine-geometry accuracy (held-out F1@0.1
+    0.40 → 0.26–0.33 across seeds, PARITY.md round 5) even though every loss
+    value and loss-equality test stays green. Opt-in for throughput-over-
+    fidelity runs."""
     import os
-    return os.environ.get("MESHRCNN_CHAMFER_BF16GRAM", "1") == "1"
+    return os.environ.get("MESHRCNN_CHAMFER_BF16GRAM", "0") == "1"
 
 
 def _tile_q() -> int:
@@ -163,9 +166,10 @@ def _tile_q() -> int:
     multiple of 128 (the TPU lane tiling) — anything else dies deep inside
     Mosaic with an opaque compile error. Validate here with a clear message.
 
-    Default 1024 since round 5: alone it is noise, but on top of the bf16 gram
-    it is a consistent further −1.3 ms on the Pix3D step and −0.7 ms on
-    ShapeNet (PERFORMANCE.md round 5 A/B tables).
+    Default 1024 since round 5 (numerics-neutral: same f32 math, different
+    tile order — only exact-tie argmins can land differently): alone it is
+    ~noise-to-−1 ms; with the opt-in bf16 gram it adds a consistent further
+    −1.3 ms on the Pix3D step (PERFORMANCE.md round 5 A/B tables).
     """
     import os
     raw = os.environ.get("MESHRCNN_CHAMFER_TILEQ", "1024")

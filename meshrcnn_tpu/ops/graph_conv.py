@@ -201,18 +201,17 @@ def _agg_bf16() -> bool:
     bf16 halves every byte of it and makes the tri matmul a single native
     MXU pass (bf16 x bf16 products are exact, accumulation stays f32 via
     preferred_element_type). Cost: contributions round to bf16 (~4e-3
-    relative) before summation — the same noise class as the bf16 conv
-    stacks. Default ON on TPU since round 5: measured −7.3 ms on the ShapeNet
-    step (PERFORMANCE.md round 3) and cleared by the learning-parity protocol
-    (PARITY.md round 5: the combined bf16 arm tracks the f32 baseline's
-    trajectory within the baseline's own seed-to-seed noise floor).
-    MESHRCNN_AGG_BF16=0 restores f32 aggregation; other backends keep f32
-    (the win is TPU HBM bandwidth, and CPU tests/oracles stay exact — the
-    same backend-gating as MESHRCNN_MXU_SCATTER).
+    relative) before summation. Measured −7.3 ms on the ShapeNet step
+    (PERFORMANCE.md round 3) but REJECTED as a default by the round-5
+    learning-parity protocol: train trajectories track the f32 baseline, yet
+    trained models consistently lose fine-geometry accuracy on held-out data
+    (F1@0.1 0.40 → ~0.29 across seeds; PARITY.md round 5) — the forward
+    rounding in 21 stacked GraphConvs blurs exactly the sub-0.1 details the
+    fine threshold scores. Opt-in via MESHRCNN_AGG_BF16=1 for
+    throughput-over-fidelity runs.
     """
     import os
-    default = "1" if jax.default_backend() == "tpu" else "0"
-    return os.environ.get("MESHRCNN_AGG_BF16", default) == "1"
+    return os.environ.get("MESHRCNN_AGG_BF16", "0") == "1"
 
 
 def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:

@@ -165,8 +165,9 @@ def test_bf16_gram_and_wide_qtile_variants(monkeypatch):
     """bf16-gram and wide-q-tile kernel variants agree with the f32 reference
     body: refined sums are exact given the assignment, so near-tie argmin flips
     move the sum only by the tie gap (rtol 1e-4); argmins agree >= 99%. The
-    reference arm pins MESHRCNN_CHAMFER_BF16GRAM=0 / TILEQ=512 explicitly —
-    bf16 gram + tile_q 1024 became the DEFAULT in round 5."""
+    reference arm pins MESHRCNN_CHAMFER_BF16GRAM=0 / TILEQ=512 explicitly
+    (tile_q 1024 is the shipped default; the bf16 gram stays opt-in — PARITY.md
+    round 5 rejected it as a default on held-out fine-accuracy evidence)."""
     from meshrcnn_tpu.ops.chamfer_pallas import chamfer_sums_fused_batched
 
     rng = np.random.RandomState(11)

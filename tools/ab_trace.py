@@ -38,9 +38,10 @@ VARIANTS = [
      {"report_unweighted": True}),
     ("cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
-    # reverse arms of the round-5 default flips (A/B tables, PERFORMANCE.md r5)
-    ("agg_f32", {"MESHRCNN_AGG_BF16": "0"}, {}),
-    ("chamfer_f32gram", {"MESHRCNN_CHAMFER_BF16GRAM": "0"}, {}),
+    # round-5 A/B arms (PERFORMANCE.md r5): tile_q 1024 is the default; the
+    # bf16 arms are the measured OPT-IN headroom (rejected as defaults,
+    # PARITY.md r5)
+    ("agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
     ("chamfer_tileq512", {"MESHRCNN_CHAMFER_TILEQ": "512"}, {}),
     ("chamfer_bf16gram", {"MESHRCNN_CHAMFER_BF16GRAM": "1"}, {}),
     ("chamfer_tileq1024", {"MESHRCNN_CHAMFER_TILEQ": "1024"}, {}),
@@ -56,8 +57,10 @@ BASE_ENV = {"MESHRCNN_FUSED_CHAMFER": "1", "MESHRCNN_FUSED_KNN": "1",
             "MESHRCNN_COUNTING_SEARCH": "1", "MESHRCNN_CHAMFER_DUALGRAM": "1",
             "MESHRCNN_MXU_SCATTER": "1", "MESHRCNN_MXU_SCATTER_MIN_C": "32",
             "MESHRCNN_CUMSUM_PRECISION": "HIGH", "MESHRCNN_PACKED_TOPO": "1",
-            # round-5 defaults (flipped after the A/B + parity clearance):
-            "MESHRCNN_AGG_BF16": "1", "MESHRCNN_CHAMFER_BF16GRAM": "1",
+            # round-5: tile_q 1024 is default (numerics-neutral); the bf16
+            # variants stay OPT-IN — fast but rejected as defaults by the
+            # held-out fine-accuracy cost (PARITY.md round 5)
+            "MESHRCNN_AGG_BF16": "0", "MESHRCNN_CHAMFER_BF16GRAM": "0",
             "MESHRCNN_CHAMFER_TILEQ": "1024"}
 
 # Pix3D variants (the normal loss carries weight 0.1 there, so the kNN path is
@@ -73,8 +76,7 @@ PIX3D_VARIANTS = [
     ("p3_pca_normals", {"MESHRCNN_FACE_NORMALS": "0"}, {}),
     ("p3_cumsum_highest", {"MESHRCNN_CUMSUM_PRECISION": "HIGHEST"}, {}),
     ("p3_argsort_topo", {"MESHRCNN_PACKED_TOPO": "0"}, {}),
-    ("p3_agg_f32", {"MESHRCNN_AGG_BF16": "0"}, {}),
-    ("p3_chamfer_f32gram", {"MESHRCNN_CHAMFER_BF16GRAM": "0"}, {}),
+    ("p3_agg_bf16", {"MESHRCNN_AGG_BF16": "1"}, {}),
     ("p3_chamfer_tileq512", {"MESHRCNN_CHAMFER_TILEQ": "512"}, {}),
     # round-4 chamfer kernel variants — the ~25 ms/step chamfer cost lives on
     # this step (3 stages x B=4 at 10k x 10k clouds)
