@@ -180,15 +180,14 @@ def _sorted_segment_sum(contrib: jnp.ndarray, starts: jnp.ndarray,
     return hi - lo
 
 
-# Largest batch the one-program two-direction aggregation is known safe at on
-# the XLA:TPU runtime. At B=12 (Pix3D eval: 4 images x 3 detections) the
-# compiled gather->blocked-cumsum->boundary-gather pipeline for BOTH edge
-# directions in one program reproducibly faults the TPU worker, while B<=8 and
-# per-sample lax.map run fine — bisected op-by-op with synthetic benign inputs
-# (tools/debug_tpu_eval_fault/refine_ops.py: aggonly faults, aggonly4/8 pass,
-# every sub-op alone passes, an optimization barrier does NOT help, lax.map
-# does). Shape-triggered runtime bug, data-independent; chunking to the proven
-# training shape is the program-level workaround (ROADMAP.md "Known issue").
+# Chunking threshold/size for the (now OPT-IN) lax.map workaround. History: at
+# B=12 (Pix3D eval: 4 images x 3 detections) the compiled gather->blocked-
+# cumsum->boundary-gather pipeline for BOTH edge directions in one program
+# reproducibly faulted the round-3 TPU worker while B<=8 and per-sample
+# lax.map ran fine (bisection: tools/debug_tpu_eval_fault/BUG_REPORT.md). The
+# round-5 shape matrix + full-CLI repro show the fault no longer reproduces on
+# the current runtime (BUG_REPORT.md addendum), so _chunking_active only
+# engages under MESHRCNN_AGG_CHUNK=1 / MESHRCNN_FORCE_AGG_CHUNK=1.
 _AGG_SAFE_BATCH = 8
 _AGG_CHUNK = 4
 
@@ -224,17 +223,22 @@ def _aggregate_one_chunk(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:
 
 
 def _chunking_active(B: int) -> bool:
-    """The worker fault is specific to the XLA:TPU runtime (BUG_REPORT.md), so
-    other backends keep the single fused program at any batch; tests force the
-    chunked path with MESHRCNN_FORCE_AGG_CHUNK=1. MESHRCNN_AGG_CHUNK_DISABLE=1
-    bypasses the guard entirely — diagnostics only (tools/agg_shape_matrix.py
-    maps the faulting shape envelope with it)."""
+    """Round-5 status: the worker fault NO LONGER REPRODUCES on the current
+    XLA:TPU runtime — tools/agg_shape_matrix.py probed both shipped capacity
+    families at B in {8, 10, 12, 16} (including the bisected faulting shape
+    B=12 / V=4096 / E=16384, 3 repeats) and the original full
+    `eval_model.py --model Pix3D` repro, all clean on 2026-08-19
+    (BUG_REPORT.md addendum). The lax.map workaround is therefore OPT-IN:
+    re-enable with MESHRCNN_AGG_CHUNK=1 if a future runtime regresses; tests
+    keep the chunked path pinned equal via MESHRCNN_FORCE_AGG_CHUNK=1.
+    MESHRCNN_AGG_CHUNK_DISABLE=1 bypasses everything (diagnostics)."""
     import os
     if os.environ.get("MESHRCNN_AGG_CHUNK_DISABLE", "0") == "1":
         return False
     if os.environ.get("MESHRCNN_FORCE_AGG_CHUNK", "0") == "1":
         return B > _AGG_SAFE_BATCH
-    return B > _AGG_SAFE_BATCH and jax.default_backend() == "tpu"
+    return (B > _AGG_SAFE_BATCH and jax.default_backend() == "tpu"
+            and os.environ.get("MESHRCNN_AGG_CHUNK", "0") == "1")
 
 
 def _aggregate_impl(feats: jnp.ndarray, topo: EdgeTopology) -> jnp.ndarray:

@@ -32,13 +32,15 @@ sys.path.insert(0, REPO)
 
 C = 128  # GraphConv feature width on the refinement stack
 
-# (family, V, E): vert/edge capacities of the shipped configs
+# (family, V, E, batches): vert/edge capacities of the shipped configs.
+# Kept tight: each probe is a fresh process + compile over the tunnel
+# (~10 min on a congested day), so the matrix probes the guard-relevant
+# BOUNDARY (B around the bisected safe-8 / fault-12 line) at the two shipped
+# capacity families rather than a dense grid.
 FAMILIES = [
-    ("pix3d_eval", 4096, 16384),     # the bisected faulting family
-    ("shapenet", 8192, 32768),       # ShapeNet train/eval caps
-    ("small", 2048, 8192),           # quarter-size control
+    ("pix3d_eval", 4096, 16384, [8, 10, 12, 16]),  # bisected: 8 ok, 12 fault
+    ("shapenet", 8192, 32768, [8, 12]),            # ShapeNet train/eval caps
 ]
-BATCHES = [4, 8, 10, 12, 16]
 
 
 def probe(B: int, V: int, E: int, Cw: int) -> None:
@@ -69,10 +71,10 @@ def main() -> None:
         probe(*[int(x) for x in sys.argv[i + 1:i + 5]])
         return
 
-    timeout = float(os.environ.get("AGG_MATRIX_TIMEOUT", "600"))
+    timeout = float(os.environ.get("AGG_MATRIX_TIMEOUT", "1500"))
     results = []
-    for family, V, E in FAMILIES:
-        for B in BATCHES:
+    for family, V, E, batches in FAMILIES:
+        for B in batches:
             t0 = time.time()
             try:
                 r = subprocess.run(
@@ -90,13 +92,11 @@ def main() -> None:
             results.append(rec)
             print(json.dumps(rec), flush=True)
 
-    print("\n=== shape matrix (rows: family VxE, cols: batch) ===")
-    header = "family          " + "".join(f"{b:>10}" for b in BATCHES)
-    print(header)
-    for family, V, E in FAMILIES:
-        row = [r["status"] for r in results
+    print("\n=== shape matrix (rows: family VxE; per-batch status) ===")
+    for family, V, E, batches in FAMILIES:
+        row = [f"B={r['B']}:{r['status']}" for r in results
                if r["family"] == family]
-        print(f"{family:<16}" + "".join(f"{s:>10}" for s in row))
+        print(f"{family:<12}" + "  ".join(row))
 
 
 if __name__ == "__main__":
