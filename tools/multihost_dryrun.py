@@ -33,15 +33,26 @@ def _run_step(mesh):
     reference and the coordinated children (same seeds -> same host values)."""
     import numpy as np
     import jax
+    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     import __graft_entry__ as ge
     from meshrcnn_tpu.core.config import TrainConfig
+    from meshrcnn_tpu.models.shapenet import ShapeNetModel
     from meshrcnn_tpu.parallel.train_step import (create_train_state,
                                                   make_dp_train_step)
 
     n = N_PROC * DEV_PER_PROC
-    model = ge._tiny_model()
+    # f32 backbone + saturated voxel-head bias, exactly like
+    # tests/test_train_step.py::test_dp_eval_matches_single_device: the 1- vs
+    # 2-process partitionings COMPILE differently, so bf16 reduction-order
+    # noise would flip cubify threshold crossings and discretely change
+    # overflow/chamfer — partition-invariance of the dp plumbing is what this
+    # dryrun checks, not bf16 determinism.
+    model = ShapeNetModel(num_classes=13, residual=False, cubify_threshold=0.2,
+                          voxel_out_channels=8, vert_capacity=512,
+                          face_capacity=1024, edge_capacity=2048,
+                          num_refinement_stages=3, backbone_dtype="float32")
     config = TrainConfig(optimizer="adam", lr=1e-3, batch_size=n,
                          point_cloud_size=64, normal_k=4, distance_tile=32,
                          train_backbone=False)
@@ -53,6 +64,10 @@ def _run_step(mesh):
     # replicated onto the global mesh — the multihost-safe way to place params
     state = create_train_state(model, config, jax.random.PRNGKey(0),
                                host_batch.images)
+    bias = np.where(np.arange(8) % 3 == 0, 4.0, -4.0).astype(np.float32)
+    params = jax.tree_util.tree_map(lambda x: x, state.params)
+    params["voxelBranch"]["conv2"]["bias"] = jnp.asarray(bias)
+    state = state.replace(params=params)
     rep = NamedSharding(mesh, P())
     g_state = jax.tree_util.tree_map(
         lambda x: jax.device_put(np.asarray(x), rep), state)
@@ -136,12 +151,18 @@ def main() -> None:
         print(f"child {c['pid']} (2 processes x 4 devices):", json.dumps(c))
 
     # equality contract: the two coordinated processes executed one common
-    # program -> identical metrics; vs the single-process partition -> f32 tol
+    # program -> identical metrics. Vs the single-process partitioning the
+    # programs COMPILE differently, so last-ulp f32 differences can flip the
+    # sampler's discrete inverse-CDF face picks — chamfer/normal/edge (and
+    # hence the total) move by ~1/point_cloud_size per flipped point; those
+    # get a discreteness-aware tolerance while continuous metrics stay tight.
     keys = [k for k in ref if k != "pid"]
+    SAMPLED = {"chamfer_loss", "normal_loss", "edge_loss", "loss"}
     for k in keys:
         assert childs[0][k] == childs[1][k], (k, childs[0][k], childs[1][k])
         a, b = childs[0][k], ref[k]
-        assert abs(a - b) <= 1e-5 * max(1.0, abs(b)), (k, a, b)
+        tol = 2e-2 if k in SAMPLED else 1e-5
+        assert abs(a - b) <= tol * max(1.0, abs(b)), (k, a, b, tol)
     print("MULTIHOST_DRYRUN_OK", json.dumps(
         {"n_processes": N_PROC, "devices_per_process": DEV_PER_PROC,
          "metrics_equal_across_processes": True,
