@@ -209,7 +209,19 @@ class VoxelBranch(nn.Module):
 
     Conv3x3 -> Conv3x3 -> ConvTranspose(x2) -> Conv1x1 -> sigmoid. NHWC in/out;
     the output channel axis doubles as the depth (z) axis of the V^3 grid. The
-    reference stacks these without intermediate activations — reproduced verbatim.
+    reference stacks these without intermediate activations — reproduced verbatim,
+    except the final logit passes through a SMOOTH soft-clamp before the
+    sigmoid: identity for |x| <= 8, then sign(x)*(8 + 7*tanh((|x|-8)/7)) easing
+    to +-15. Rationale (round-5 freeze diagnosis, PARITY.md): plain f32 sigmoid
+    returns EXACTLY 0/1 once |logit| exceeds ~17/88, the BCE's probability
+    clamp then has zero gradient, and the whole branch freezes permanently —
+    observed in-anger on the Adam detection runs (constant saturated grids
+    bit-identical across 12 further training epochs; the reference's
+    sigmoid+BCELoss has the identical failure mode). The soft-clamp keeps
+    probabilities inside (3e-7, 1-3e-7) — still representable in f32 — with a
+    never-zero, C1-continuous gradient; it is EXACTLY the plain sigmoid for
+    |logit| <= 8 (probabilities 0.0003..0.9997, the entire meaningful range;
+    pytest-pinned), so healthy training is bit-identical.
     """
 
     out_channels: int
@@ -230,4 +242,19 @@ class VoxelBranch(nn.Module):
         assert (int(x.shape[1]), int(x.shape[2])) == convT_output(
             h, w, kernel=2, stride=2)
         x = nn.Conv(self.out_channels, (1, 1), name="conv2")(x)
-        return nn.sigmoid(x)
+        return nn.sigmoid(_soft_clamp_logits(x))
+
+
+def _soft_clamp_logits(x: jnp.ndarray, a: float = 8.0, b: float = 15.0
+                       ) -> jnp.ndarray:
+    """Identity for |x| <= a; rational easing a + (b-a)*t/(1+t) toward +-b
+    beyond (t = (|x|-a)/(b-a); C1 at the knee, derivative 1/(1+t)^2 decays
+    POLYNOMIALLY so it never underflows to f32 zero — a tanh easing's sech^2
+    gradient flushes to 0 by |x| ~ 100, recreating the freeze this exists to
+    prevent). See VoxelBranch docstring for why."""
+    ax = jnp.abs(x)
+    # max(.., 0) keeps t >= 0 so the unselected branch can never produce the
+    # NaN (t = -1 division) that jnp.where would leak into gradients
+    t = jnp.maximum(ax - a, 0.0) / (b - a)
+    eased = a + (b - a) * t / (1.0 + t)
+    return jnp.where(ax <= a, x, jnp.sign(x) * eased)

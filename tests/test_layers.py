@@ -157,3 +157,41 @@ def test_project_first_matches_gather_first():
             # float-association noise scales with the leaf's grad magnitude
             scale = max(np.abs(b).max(), 1.0)
             np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5 * scale)
+
+
+def test_voxel_branch_saturation_keeps_gradients():
+    """Round-5 freeze fix: the voxel head's soft-clamped sigmoid must (a) match
+    the plain sigmoid to <1e-6 in the healthy |logit|<=5 range, and (b) keep a
+    NONZERO voxel-BCE gradient at logits that saturate a plain f32 sigmoid to
+    exactly 0/1 (where the clipped-log BCE gradient vanishes and the branch
+    freezes permanently — observed on the Adam detection runs, PARITY.md r5)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from meshrcnn_tpu.models.layers import _soft_clamp_logits
+    from meshrcnn_tpu.ops.losses import voxel_loss
+
+    # (a) EXACT equality with the plain sigmoid in the meaningful range
+    x = jnp.linspace(-8.0, 8.0, 101)
+    soft = jax.nn.sigmoid(_soft_clamp_logits(x))
+    plain = jax.nn.sigmoid(x)
+    assert (np.asarray(soft) == np.asarray(plain)).all()
+    # outputs stay strictly inside (0, 1) at any logit
+    extreme = jax.nn.sigmoid(_soft_clamp_logits(jnp.asarray([1e4, -1e4])))
+    assert 0.0 < float(extreme[1]) and float(extreme[0]) < 1.0
+
+    # (b) gradient survives extreme saturation; the plain path's dies
+    big = jnp.asarray([40.0, -100.0, 25.0])
+    tgt = jnp.asarray([0.0, 1.0, 0.0])  # wrong predictions at saturation
+
+    def loss_soft(logits):
+        return voxel_loss(jax.nn.sigmoid(_soft_clamp_logits(logits)), tgt)
+
+    def loss_plain(logits):
+        return voxel_loss(jax.nn.sigmoid(logits), tgt)
+
+    g_soft = np.asarray(jax.grad(loss_soft)(big))
+    g_plain = np.asarray(jax.grad(loss_plain)(big))
+    assert (np.abs(g_soft) > 1e-6).all(), g_soft      # alive everywhere
+    assert (g_plain == 0.0).all(), g_plain            # the failure being fixed
