@@ -29,6 +29,10 @@ parser.add_argument("--vert_capacity", type=int, default=8192)
 parser.add_argument("--face_capacity", type=int, default=16384)
 parser.add_argument("--edge_capacity", type=int, default=32768)
 parser.add_argument("--img_size", type=int, default=224, help="Pix3D input size")
+parser.add_argument("--mesh_feature_norm", default=False, action="store_true",
+                    help="param-free RMS norm of the RoI features feeding the "
+                         "mesh branch (needed for from-scratch Pix3D recipes; "
+                         "must match between train and eval)")
 
 
 def main():
@@ -62,7 +66,8 @@ def main():
                            num_refinement_stages=options.num_refinement_stages,
                            vert_capacity=options.vert_capacity,
                            face_capacity=options.face_capacity,
-                           edge_capacity=options.edge_capacity)
+                           edge_capacity=options.edge_capacity,
+                           mesh_feature_norm=options.mesh_feature_norm)
     else:
         model = ShapeNetModel(num_classes=13, residual=options.residual,
                               cubify_threshold=options.threshold,

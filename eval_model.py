@@ -58,6 +58,10 @@ parser.add_argument("--split_eval", type=str, default="auto",
                          "fix (ROADMAP.md) the single dispatch runs fine on TPU "
                          "and is faster, so 'auto' = off; 'on' is kept as a "
                          "debugging/robustness fallback")
+parser.add_argument("--mesh_feature_norm", default=False, action="store_true",
+                    help="param-free RMS norm of the RoI features feeding the "
+                         "mesh branch (needed for from-scratch Pix3D recipes; "
+                         "must match between train and eval)")
 
 
 def main():
@@ -112,7 +116,8 @@ def main():
                            face_capacity=capacities.faces,
                            edge_capacity=capacities.edges,
                            rpn_post_nms_top_n=options.rpn_post_nms_top_n,
-                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype))
+                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype),
+                           mesh_feature_norm=options.mesh_feature_norm)
     else:
         from meshrcnn_tpu.models.shapenet import ShapeNetModel
         model = ShapeNetModel(num_classes=13, residual=options.residual,

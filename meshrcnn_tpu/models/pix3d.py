@@ -133,6 +133,17 @@ class Pix3DModel(nn.Module):
     roi_batch_size: int = 512
     mask_rois: int = 64
     backbone_dtype: str = "bfloat16"  # detection-stack compute dtype (see Pix3DMaskRCNN)
+    # Param-free per-RoI RMS normalization of the features feeding the mesh
+    # branch (voxel head + refinement vert-align). The reference has no such
+    # layer (its RoI features come from a COCO-initialised FPN and arrive at
+    # std ~1, reference pix3d_model.py:163-178); a FROM-SCRATCH FPN feeds the
+    # mesh branch at std ~100, which drives the voxel logits into deep
+    # (soft-clamped) saturation from step one and parks the branch in the
+    # all-off basin — measured in the round-5 two-phase curriculum runs
+    # (PARITY.md): neither flat SGD 2e-3 nor the verbatim 0.02-peak recipe
+    # schedule on the mesh branch alone escaped it in ~2-3k steps. Off by
+    # default (reference-faithful); from-scratch recipes turn it on.
+    mesh_feature_norm: bool = False
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False,
@@ -163,6 +174,12 @@ class Pix3DModel(nn.Module):
                 B * D, *detections.roi_features.shape[2:])
             mesh_valid = detections.valid.reshape(B * D)
             feat_img_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), D)
+
+        if self.mesh_feature_norm:
+            # scale-invariant mesh-branch input: x / rms(x) per RoI map
+            rms = jnp.sqrt(jnp.mean(jnp.square(roi), axis=(1, 2, 3),
+                                    keepdims=True) + 1e-6)
+            roi = roi / rms
 
         voxels_nhwc = VoxelBranch(self.voxel_out_channels, name="voxelBranch")(roi)
         voxels = jnp.transpose(voxels_nhwc, (0, 3, 1, 2))      # [N, 24, 24, 24]

@@ -100,6 +100,10 @@ parser.add_argument("--report_unweighted_losses", default=False, action="store_t
 parser.add_argument("--multihost", default=False, action="store_true",
                     help="initialise jax.distributed for multi-host training "
                          "(grads pmean over ICI+DCN through the same dp axis)")
+parser.add_argument("--mesh_feature_norm", default=False, action="store_true",
+                    help="param-free RMS norm of the RoI features feeding the "
+                         "mesh branch (needed for from-scratch Pix3D recipes; "
+                         "must match between train and eval)")
 
 
 def main():
@@ -182,7 +186,8 @@ def main():
                            rpn_pre_nms_top_n=options.rpn_pre_nms_top_n,
                            rpn_post_nms_top_n=options.rpn_post_nms_top_n,
                            roi_batch_size=options.roi_batch_size,
-                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype))
+                           backbone_dtype=resolve_backbone_dtype(options.backbone_dtype),
+                           mesh_feature_norm=options.mesh_feature_norm)
     else:
         from meshrcnn_tpu.models.shapenet import ShapeNetModel
         model = ShapeNetModel(num_classes=13, residual=options.residual,
